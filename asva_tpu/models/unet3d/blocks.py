@@ -1,0 +1,112 @@
+"""UNet down / mid / up blocks (reference: avgen/models/unets/unet_3d_blocks.py).
+
+Block-type strings are kept identical to the reference configs so YAML
+configs can be consumed unchanged:
+  FFSpatioTempResDownBlock3D / FFSpatioTempResUpBlock3D
+  FFSpatioTempCrossAttnDownBlock3D / ...UpBlock3D / ...UNetMidBlock3D
+  FFSpatioAudioTempCrossAttnDownBlock3D / ...UpBlock3D / ...UNetMidBlock3D
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .resnet import FFDownsample, FFResnetBlock, FFUpsample
+from .transformer import SpatioAudioTempTransformer3D
+
+
+class DownBlock(nn.Module):
+    out_channels: int
+    num_layers: int = 2
+    groups: int = 32
+    eps: float = 1e-5
+    add_downsample: bool = True
+    # attention config; has_attention=False => pure resnet block
+    has_attention: bool = False
+    use_audio: bool = False
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, text_context=None, audio_context=None,
+                 audio_mask=None) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        residuals = []
+        head_dim = self.out_channels // self.num_heads
+        for i in range(self.num_layers):
+            x = FFResnetBlock(self.out_channels, groups=self.groups,
+                              eps=self.eps, dtype=self.dtype,
+                              name=f"resnets_{i}")(x, temb)
+            if self.has_attention:
+                x = SpatioAudioTempTransformer3D(
+                    self.num_heads, head_dim, norm_num_groups=self.groups,
+                    use_audio=self.use_audio, dtype=self.dtype,
+                    name=f"attentions_{i}")(
+                    x, text_context, audio_context, audio_mask)
+            residuals.append(x)
+        if self.add_downsample:
+            x = FFDownsample(self.out_channels, dtype=self.dtype,
+                             name="downsample")(x)
+            residuals.append(x)
+        return x, residuals
+
+
+class MidBlock(nn.Module):
+    channels: int
+    num_layers: int = 1
+    groups: int = 32
+    eps: float = 1e-5
+    use_audio: bool = True
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, text_context=None, audio_context=None,
+                 audio_mask=None) -> jnp.ndarray:
+        head_dim = self.channels // self.num_heads
+        x = FFResnetBlock(self.channels, groups=self.groups, eps=self.eps,
+                          dtype=self.dtype, name="resnets_0")(x, temb)
+        for i in range(self.num_layers):
+            x = SpatioAudioTempTransformer3D(
+                self.num_heads, head_dim, norm_num_groups=self.groups,
+                use_audio=self.use_audio, dtype=self.dtype,
+                name=f"attentions_{i}")(
+                x, text_context, audio_context, audio_mask)
+            x = FFResnetBlock(self.channels, groups=self.groups, eps=self.eps,
+                              dtype=self.dtype, name=f"resnets_{i + 1}")(x, temb)
+        return x
+
+
+class UpBlock(nn.Module):
+    out_channels: int
+    num_layers: int = 3  # reference uses layers_per_block + 1
+    groups: int = 32
+    eps: float = 1e-5
+    add_upsample: bool = True
+    has_attention: bool = False
+    use_audio: bool = False
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res_states: List[jnp.ndarray], temb,
+                 text_context=None, audio_context=None,
+                 audio_mask=None) -> jnp.ndarray:
+        head_dim = self.out_channels // self.num_heads
+        for i in range(self.num_layers):
+            res = res_states.pop()
+            x = jnp.concatenate([x, res], axis=-1)
+            x = FFResnetBlock(self.out_channels, groups=self.groups,
+                              eps=self.eps, dtype=self.dtype,
+                              name=f"resnets_{i}")(x, temb)
+            if self.has_attention:
+                x = SpatioAudioTempTransformer3D(
+                    self.num_heads, head_dim, norm_num_groups=self.groups,
+                    use_audio=self.use_audio, dtype=self.dtype,
+                    name=f"attentions_{i}")(
+                    x, text_context, audio_context, audio_mask)
+        if self.add_upsample:
+            x = FFUpsample(self.out_channels, dtype=self.dtype,
+                           name="upsample")(x)
+        return x

@@ -1,0 +1,157 @@
+"""AudioUNet3D — first-frame-conditioned audio-driven video diffusion UNet.
+
+TPU-native re-design of the reference AudioUNet3DConditionModel
+(avgen/models/unets/audio_cond_unet_3d_condition.py:56-798):
+  * channels-last (b, f, h, w, c) tensors;
+  * per-frame time embedding (b, f, c) — reference repeats emb at :681;
+  * text context (b, 77, 768) and audio context (b, 229, 768) are passed
+    once and broadcast across frames inside the attention (the reference
+    materializes per-frame copies);
+  * audio_mask (b, f, 229) boolean segment masks (True = attend);
+  * optional remat per block replaces torch per-block grad-checkpointing.
+
+Unsupported reference knobs (never enabled by any ASVA config) are omitted:
+class embeddings, addition text-time embeddings, encoder_hid projection,
+fourier time embedding, dual cross attention, linear projections.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..embeddings import TimestepEmbedding, sinusoidal_timestep_embedding
+from .blocks import DownBlock, MidBlock, UpBlock
+from .primitives import FFInflatedConv
+
+DOWN_AUDIO = "FFSpatioAudioTempCrossAttnDownBlock3D"
+DOWN_TEXT = "FFSpatioTempCrossAttnDownBlock3D"
+DOWN_RES = "FFSpatioTempResDownBlock3D"
+UP_AUDIO = "FFSpatioAudioTempCrossAttnUpBlock3D"
+UP_TEXT = "FFSpatioTempCrossAttnUpBlock3D"
+UP_RES = "FFSpatioTempResUpBlock3D"
+MID_AUDIO = "FFSpatioAudioTempCrossAttnUNetMidBlock3D"
+MID_TEXT = "FFSpatioTempCrossAttnUNetMidBlock3D"
+
+
+@dataclasses.dataclass(frozen=True)
+class UNet3DConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    down_block_types: Tuple[str, ...] = (DOWN_AUDIO, DOWN_AUDIO, DOWN_AUDIO,
+                                         DOWN_RES)
+    mid_block_type: str = MID_AUDIO
+    up_block_types: Tuple[str, ...] = (UP_RES, UP_AUDIO, UP_AUDIO, UP_AUDIO)
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    cross_attention_dim: int = 768
+    audio_cross_attention_dim: int = 768
+    attention_head_dim: int = 8  # == number of heads (diffusers SD1.5 naming)
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+    remat: bool = False
+
+    @classmethod
+    def tiny(cls, **kw) -> "UNet3DConfig":
+        """Small config for unit tests."""
+        defaults = dict(block_out_channels=(32, 64), layers_per_block=1,
+                        down_block_types=(DOWN_AUDIO, DOWN_RES),
+                        up_block_types=(UP_RES, UP_AUDIO),
+                        norm_num_groups=8, attention_head_dim=2)
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+class AudioUNet3D(nn.Module):
+    config: UNet3DConfig = UNet3DConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,                    # (b, f, h, w, c_in)
+        timesteps: jnp.ndarray,                 # (b,) or scalar
+        text_context: Optional[jnp.ndarray],    # (b, 77, 768) or (b,f,77,768)
+        audio_context: Optional[jnp.ndarray] = None,  # (b, 229, 768)
+        audio_mask: Optional[jnp.ndarray] = None,     # (b, f, 229) bool
+    ) -> jnp.ndarray:
+        cfg = self.config
+        b, f = sample.shape[0], sample.shape[1]
+        num_heads = cfg.attention_head_dim
+
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (b,))
+
+        # 1. time embedding, broadcast per frame
+        t_emb = sinusoidal_timestep_embedding(
+            timesteps, cfg.block_out_channels[0],
+            flip_sin_to_cos=cfg.flip_sin_to_cos,
+            downscale_freq_shift=cfg.freq_shift).astype(self.dtype)
+        emb = TimestepEmbedding(cfg.block_out_channels[0] * 4,
+                                dtype=self.dtype, name="time_embedding")(t_emb)
+        emb = jnp.broadcast_to(emb[:, None, :], (b, f, emb.shape[-1]))
+
+        # 2. input conv
+        sample = sample.astype(self.dtype)
+        x = FFInflatedConv(cfg.block_out_channels[0], 3, 1, 1,
+                           dtype=self.dtype, name="conv_in")(sample)
+
+        def maybe_remat(cls_):
+            return nn.remat(cls_) if cfg.remat else cls_
+
+        # 3. down path
+        res_stack = [x]
+        out_ch = cfg.block_out_channels[0]
+        for i, btype in enumerate(cfg.down_block_types):
+            out_ch = cfg.block_out_channels[i]
+            is_final = i == len(cfg.block_out_channels) - 1
+            block = maybe_remat(DownBlock)(
+                out_channels=out_ch,
+                num_layers=cfg.layers_per_block,
+                groups=cfg.norm_num_groups, eps=cfg.norm_eps,
+                add_downsample=not is_final,
+                has_attention=btype in (DOWN_AUDIO, DOWN_TEXT),
+                use_audio=btype == DOWN_AUDIO,
+                num_heads=num_heads, dtype=self.dtype,
+                name=f"down_blocks_{i}")
+            x, residuals = block(x, emb, text_context, audio_context,
+                                 audio_mask)
+            res_stack.extend(residuals)
+
+        # 4. mid
+        x = maybe_remat(MidBlock)(
+            channels=cfg.block_out_channels[-1], groups=cfg.norm_num_groups,
+            eps=cfg.norm_eps, use_audio=cfg.mid_block_type == MID_AUDIO,
+            num_heads=num_heads, dtype=self.dtype, name="mid_block")(
+            x, emb, text_context, audio_context, audio_mask)
+
+        # 5. up path
+        rev_channels = list(reversed(cfg.block_out_channels))
+        for i, btype in enumerate(cfg.up_block_types):
+            is_final = i == len(cfg.block_out_channels) - 1
+            out_ch = rev_channels[i]
+            n_layers = cfg.layers_per_block + 1
+            skips = res_stack[-n_layers:]
+            del res_stack[-n_layers:]
+            block = maybe_remat(UpBlock)(
+                out_channels=out_ch, num_layers=n_layers,
+                groups=cfg.norm_num_groups, eps=cfg.norm_eps,
+                add_upsample=not is_final,
+                has_attention=btype in (UP_AUDIO, UP_TEXT),
+                use_audio=btype == UP_AUDIO,
+                num_heads=num_heads, dtype=self.dtype,
+                name=f"up_blocks_{i}")
+            x = block(x, skips, emb, text_context, audio_context, audio_mask)
+
+        # 6. out
+        from ...ops.norms import VideoGroupNorm  # local import to avoid cycle
+        x = VideoGroupNorm(cfg.norm_num_groups, cfg.norm_eps,
+                           name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = FFInflatedConv(cfg.out_channels, 3, 1, 1, dtype=self.dtype,
+                           name="conv_out")(x)
+        return x

@@ -1,0 +1,183 @@
+"""First-frame ("FF") inflation primitives, channels-last and TPU-shaped.
+
+Reference semantics (avgen/models/unets/utils.py):
+  * InflatedConv: a 2D conv applied independently per frame (:11-19).
+  * FFInflatedConv: per-frame 2D conv followed by a residual zero-init
+    linear mix of [first-frame, previous-frame, current-frame] features
+    (:22-57).  We keep one (3C, C) kernel for checkpoint compatibility but
+    evaluate it as three C->C matmuls so the first-frame term is computed
+    once and broadcast over frames instead of materializing a 3C tensor.
+  * FFAttention: spatial attention whose K/V come from frame 0 only while
+    queries come from every frame (:105-162).  On TPU this is a broadcast
+    K/V attention — K/V are projected once for frame 0, never repeated.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.attention import dot_product_attention
+
+
+def _pair(v: Union[int, Sequence[int]]) -> Tuple[int, int]:
+    if isinstance(v, int):
+        return (v, v)
+    return tuple(v)  # type: ignore[return-value]
+
+
+class InflatedConv(nn.Module):
+    """Per-frame 2D convolution on (b, f, h, w, c) with torch-style padding."""
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, f = x.shape[0], x.shape[1]
+        kh, kw = _pair(self.kernel_size)
+        ph, pw = _pair(self.padding)
+        x = x.reshape((b * f,) + x.shape[2:])
+        x = nn.Conv(self.features, (kh, kw), strides=_pair(self.strides),
+                    padding=((ph, ph), (pw, pw)), dtype=self.dtype,
+                    name="conv")(x)
+        return x.reshape((b, f) + x.shape[1:])
+
+
+class FFInflatedConv(nn.Module):
+    """Per-frame 2D conv + residual zero-init 3-tap temporal linear mix."""
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, f = x.shape[0], x.shape[1]
+        kh, kw = _pair(self.kernel_size)
+        ph, pw = _pair(self.padding)
+        y = x.reshape((b * f,) + x.shape[2:])
+        y = nn.Conv(self.features, (kh, kw), strides=_pair(self.strides),
+                    padding=((ph, ph), (pw, pw)), dtype=self.dtype,
+                    name="conv")(y)
+        y = y.reshape((b, f) + y.shape[1:])  # (b, f, h, w, C)
+
+        c = self.features
+        # One (3C, C) kernel == torch Linear(3C, C); zero-init so a freshly
+        # inflated model reproduces the 2D network exactly.
+        kernel = self.param("temp_kernel", nn.initializers.zeros, (3 * c, c))
+        bias = self.param("temp_bias", nn.initializers.zeros, (c,))
+        k_head, k_prev, k_curr = (kernel[:c], kernel[c:2 * c], kernel[2 * c:])
+        k_head = k_head.astype(y.dtype)
+        k_prev = k_prev.astype(y.dtype)
+        k_curr = k_curr.astype(y.dtype)
+
+        head = y[:, 0:1]                                        # (b,1,h,w,C)
+        prev = jnp.concatenate([y[:, 0:1], y[:, :-1]], axis=1)  # prev of 0 is 0
+        mix = (head @ k_head) + (prev @ k_prev) + (y @ k_curr)
+        return y + mix + bias.astype(y.dtype)
+
+
+class MultiHeadProjections(nn.Module):
+    """q/k/v/out projections with diffusers' layout (bias only on out)."""
+    inner_dim: int
+    num_heads: int
+    kv_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.to_q = nn.Dense(self.inner_dim, use_bias=False, dtype=self.dtype)
+        self.to_k = nn.Dense(self.inner_dim, use_bias=False, dtype=self.dtype)
+        self.to_v = nn.Dense(self.inner_dim, use_bias=False, dtype=self.dtype)
+        self.to_out = nn.Dense(self.inner_dim, use_bias=True, dtype=self.dtype)
+
+    def split(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x.reshape(x.shape[:-1] + (self.num_heads,
+                                         self.inner_dim // self.num_heads))
+
+    def merge(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x.reshape(x.shape[:-2] + (self.inner_dim,))
+
+
+class FFSpatialAttention(nn.Module):
+    """Spatial self-attention with K/V from frame 0 only.
+
+    Input: (b, f, n, c) spatial tokens per frame.  K/V are projected from
+    frame 0 and broadcast across the frame axis of the queries.
+    """
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.num_heads * self.head_dim
+        proj = MultiHeadProjections(inner, self.num_heads, dtype=self.dtype,
+                                    name="proj")
+        q = proj.split(proj.to_q(x))                   # (b, f, n, H, D)
+        first = x[:, 0:1]                              # (b, 1, n, c)
+        k = proj.split(proj.to_k(first))               # (b, 1, n, H, D)
+        v = proj.split(proj.to_v(first))
+        out = dot_product_attention(q, k, v)
+        return proj.to_out(proj.merge(out))
+
+
+class CrossAttention(nn.Module):
+    """Cross attention; context may have fewer leading axes than x (it is
+    broadcast), and an optional boolean mask (True = attend) may be given
+    per (batch, frame) against context tokens."""
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        inner = self.num_heads * self.head_dim
+        proj = MultiHeadProjections(inner, self.num_heads, dtype=self.dtype,
+                                    name="proj")
+        q = proj.split(proj.to_q(x))        # (b, f, n, H, D)
+        k = proj.split(proj.to_k(context))  # (b, [f,] m, H, D)
+        v = proj.split(proj.to_v(context))
+        while k.ndim < q.ndim:              # broadcast context over frames
+            k = k[:, None]
+            v = v[:, None]
+        if mask is not None:
+            # mask: (b, f, m) -> (b, f, 1(H), 1(n), m)
+            mask = mask[:, :, None, None, :]
+        out = dot_product_attention(q, k, v, mask=mask)
+        return proj.to_out(proj.merge(out))
+
+
+class TemporalAttention(nn.Module):
+    """Self-attention over the frame axis for each spatial location.
+
+    Input: (b, f, n, c); attention runs over f with batch (b, n).
+    `to_out` kernel is zero-init (reference:
+    ff_spatio_audio_temp_transformer_3d.py:267) so the inflated model starts
+    as identity.
+    """
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.num_heads * self.head_dim
+        xt = jnp.swapaxes(x, 1, 2)  # (b, n, f, c)
+        to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="proj_to_q")
+        to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="proj_to_k")
+        to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="proj_to_v")
+        to_out = nn.Dense(inner, use_bias=True, dtype=self.dtype,
+                          kernel_init=nn.initializers.zeros, name="proj_to_out")
+        hd = (self.num_heads, self.head_dim)
+        q = to_q(xt).reshape(xt.shape[:-1] + hd)
+        k = to_k(xt).reshape(xt.shape[:-1] + hd)
+        v = to_v(xt).reshape(xt.shape[:-1] + hd)
+        out = dot_product_attention(q, k, v)
+        out = to_out(out.reshape(xt.shape[:-1] + (inner,)))
+        return jnp.swapaxes(out, 1, 2)

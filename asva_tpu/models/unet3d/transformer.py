@@ -1,0 +1,137 @@
+"""Spatio(-audio)-temporal transformer blocks.
+
+Reference:
+  avgen/models/unets/transformers/ff_spatio_audio_temp_transformer_3d.py
+  (audio variant; the text-only variant, ff_spatio_temp_transformer_3d.py,
+  is the same block minus the audio cross-attention).
+
+Sub-layer order inside the block (reference :278-372):
+  1. first-frame spatial attention      (attn1, K/V from frame 0)
+  2. audio cross-attention              (attn_audio, per-frame segment mask)
+  3. text cross-attention               (attn2)
+  4. temporal attention over frames     (attn_temp, zero-init out, sinusoidal
+                                         MLP positional embedding added to the
+                                         normed input only)
+  5. GEGLU feed-forward
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.norms import AdaptiveOrLayerNorm, SpatialGroupNorm
+from ..embeddings import TimestepEmbedding, sinusoidal_timestep_embedding
+from .primitives import (CrossAttention, FFSpatialAttention,
+                         TemporalAttention)
+
+
+class GEGLUFeedForward(nn.Module):
+    """Dense(dim -> 8*dim) split in two; value * gelu(gate); Dense(4*dim -> dim).
+
+    Matches diffusers FeedForward(activation_fn="geglu") with exact (erf) gelu.
+    """
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        value, gate = jnp.split(h, 2, axis=-1)
+        h = value * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class SpatioAudioTempTransformerBlock(nn.Module):
+    """One BasicTransformerBlock on (b, f, n, c) spatial-token tensors."""
+    dim: int
+    num_heads: int
+    head_dim: int
+    use_audio: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,                       # (b, f, n, c)
+        text_context: Optional[jnp.ndarray],  # (b, m, d) or (b, f, m, d)
+        audio_context: Optional[jnp.ndarray] = None,  # (b, ma, da) / (b,f,ma,da)
+        audio_mask: Optional[jnp.ndarray] = None,     # (b, f, ma) bool
+    ) -> jnp.ndarray:
+        f = x.shape[1]
+
+        # 1. first-frame spatial attention
+        h = AdaptiveOrLayerNorm(name="norm1")(x)
+        x = x + FFSpatialAttention(self.num_heads, self.head_dim,
+                                   dtype=self.dtype, name="attn1")(h)
+
+        # 2. audio cross-attention with per-frame segment mask
+        if self.use_audio:
+            h = AdaptiveOrLayerNorm(name="norm_audio")(x)
+            x = x + CrossAttention(self.num_heads, self.head_dim,
+                                   dtype=self.dtype, name="attn_audio")(
+                h, audio_context, mask=audio_mask)
+
+        # 3. text cross-attention
+        if text_context is not None:
+            h = AdaptiveOrLayerNorm(name="norm2")(x)
+            x = x + CrossAttention(self.num_heads, self.head_dim,
+                                   dtype=self.dtype, name="attn2")(
+                h, text_context)
+
+        # 4. temporal attention (sinusoidal-MLP position added pre-norm only)
+        pos = sinusoidal_timestep_embedding(
+            jnp.arange(f, dtype=jnp.float32), self.dim)
+        pos = TimestepEmbedding(self.dim, dtype=self.dtype,
+                                name="pos_embedding_temp")(
+            pos.astype(self.dtype))
+        pos = pos[None, :, None, :]  # (1, f, 1, c)
+        h = AdaptiveOrLayerNorm(name="norm_temp")(x + pos)
+        x = x + TemporalAttention(self.num_heads, self.head_dim,
+                                  dtype=self.dtype, name="attn_temp")(h)
+
+        # 5. feed-forward
+        h = AdaptiveOrLayerNorm(name="norm3")(x)
+        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class SpatioAudioTempTransformer3D(nn.Module):
+    """GroupNorm -> proj_in -> N blocks -> proj_out -> +residual.
+
+    Input/output: (b, f, h, w, c).  The GroupNorm here is PER-FRAME
+    (reference applies it to the frame-folded 4-D tensor).  proj_in/out are
+    1x1 convs in the reference == Dense in channels-last.
+    """
+    num_heads: int
+    head_dim: int
+    num_layers: int = 1
+    norm_num_groups: int = 32
+    use_audio: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        text_context: Optional[jnp.ndarray],
+        audio_context: Optional[jnp.ndarray] = None,
+        audio_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        b, f, hh, ww, c = x.shape
+        inner = self.num_heads * self.head_dim
+        residual = x
+        h = SpatialGroupNorm(self.norm_num_groups, 1e-6, name="norm")(x)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(b, f, hh * ww, inner)
+        for i in range(self.num_layers):
+            h = SpatioAudioTempTransformerBlock(
+                inner, self.num_heads, self.head_dim, use_audio=self.use_audio,
+                dtype=self.dtype, name=f"blocks_{i}")(
+                h, text_context, audio_context, audio_mask)
+        h = h.reshape(b, f, hh, ww, inner)
+        h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
+        return h + residual
