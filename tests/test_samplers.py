@@ -1,0 +1,151 @@
+"""Sampler correctness: timestep plans, exact-recovery properties, and a
+trajectory comparison against an eager list-based PLMS implementation."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from asva_tpu.diffusion.samplers import (SamplerState, ddim_plan, init_state,
+                                         plan_row_arrays, plms_plan,
+                                         sampler_step)
+from asva_tpu.diffusion.schedules import DiffusionSchedule
+
+SCHED = DiffusionSchedule()
+
+
+def test_ddim_timestep_sequence_50():
+    plan = ddim_plan(SCHED, 50)
+    expected = np.arange(50)[::-1] * 20 + 1  # leading spacing, offset 1
+    np.testing.assert_array_equal(plan.t_model, expected)
+
+
+def test_plms_timestep_sequence_has_duplicated_second_step():
+    plan = plms_plan(SCHED, 25)
+    base = np.arange(25) * 40 + 1
+    expected = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1]
+    np.testing.assert_array_equal(plan.t_model, expected)
+    assert plan.num_iterations == 26
+    assert plan.t_model[1] == plan.t_model[2]
+
+
+def _run(plan, x_start, eps_fn):
+    rows = plan_row_arrays(plan)
+    state = init_state(plan, x_start)
+    for i in range(plan.num_iterations):
+        row = jax.tree.map(lambda a: a[i], rows)
+        eps = eps_fn(state.latents, plan.t_model[i])
+        state = sampler_step(plan.kind, row, state, eps)
+    return state.latents
+
+
+def test_ddim_perfect_eps_recovers_x0(rng):
+    """With the true constant eps, DDIM (eta=0, epsilon param) walks exactly
+    back to x0."""
+    x0 = jnp.asarray(rng.standard_normal((1, 2, 4, 4, 3)), dtype=jnp.float32)
+    eps = jnp.asarray(rng.standard_normal(x0.shape), dtype=jnp.float32)
+    ac = SCHED.alphas_cumprod
+    plan = ddim_plan(SCHED, 25)
+    t0 = plan.t_model[0]
+    xt = np.sqrt(ac[t0]) * x0 + np.sqrt(1 - ac[t0]) * eps
+    out = _run(plan, jnp.asarray(xt), lambda x, t: eps)
+    # final target alpha is ac[0] (~0.99915), not exactly 1: tiny residual
+    final = np.sqrt(ac[0]) * np.asarray(x0) + np.sqrt(1 - ac[0]) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(out), final, atol=2e-4, rtol=2e-4)
+
+
+def test_plms_constant_eps_recovers_x0(rng):
+    x0 = jnp.asarray(rng.standard_normal((1, 2, 4, 4, 3)), dtype=jnp.float32)
+    eps = jnp.asarray(rng.standard_normal(x0.shape), dtype=jnp.float32)
+    ac = SCHED.alphas_cumprod
+    plan = plms_plan(SCHED, 25)
+    t0 = plan.t_model[0]
+    xt = np.sqrt(ac[t0]) * x0 + np.sqrt(1 - ac[t0]) * eps
+    out = _run(plan, jnp.asarray(xt), lambda x, t: eps)
+    final = np.sqrt(ac[0]) * np.asarray(x0) + np.sqrt(1 - ac[0]) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(out), final, atol=5e-4, rtol=5e-4)
+
+
+class _EagerPLMS:
+    """Independent eager implementation of the published PNDM/PLMS algorithm
+    (list-based, mirrors the diffusers control flow) used as an oracle."""
+
+    def __init__(self, sched: DiffusionSchedule, num_steps: int):
+        self.ac = sched.alphas_cumprod.astype(np.float64)
+        self.final_ac = self.ac[0]
+        self.ratio = sched.num_train_timesteps // num_steps
+        base = sched.leading_timesteps(num_steps)
+        self.timesteps = np.concatenate(
+            [base[:-1], base[-2:-1], base[-1:]])[::-1]
+        self.ets = []
+        self.counter = 0
+        self.cur_sample = None
+
+    def _transition(self, sample, t, t_prev, eps):
+        a_t = self.ac[t]
+        a_prev = self.ac[t_prev] if t_prev >= 0 else self.final_ac
+        coeff = np.sqrt(a_prev / a_t)
+        denom = a_t * np.sqrt(1 - a_prev) + np.sqrt(a_t * (1 - a_t) * a_prev)
+        return coeff * sample - (a_prev - a_t) * eps / denom
+
+    def step(self, eps, t, sample):
+        t_prev = t - self.ratio
+        if self.counter != 1:
+            self.ets = self.ets[-3:] + [eps]
+        else:
+            t_prev = t
+            t = t + self.ratio
+        if len(self.ets) == 1 and self.counter == 0:
+            combined = eps
+            self.cur_sample = sample
+        elif len(self.ets) == 1 and self.counter == 1:
+            combined = (eps + self.ets[-1]) / 2
+            sample = self.cur_sample
+        elif len(self.ets) == 2:
+            combined = (3 * self.ets[-1] - self.ets[-2]) / 2
+        elif len(self.ets) == 3:
+            combined = (23 * self.ets[-1] - 16 * self.ets[-2]
+                        + 5 * self.ets[-3]) / 12
+        else:
+            combined = (55 * self.ets[-1] - 59 * self.ets[-2]
+                        + 37 * self.ets[-3] - 9 * self.ets[-4]) / 24
+        self.counter += 1
+        return self._transition(sample, t, t_prev, combined)
+
+
+def test_plms_scan_matches_eager_oracle(rng):
+    """Timestep-dependent fake eps exercises the full multistep machinery."""
+    shape = (1, 2, 4, 4, 3)
+    x = rng.standard_normal(shape).astype(np.float32)
+
+    def eps_fn_np(sample, t):
+        # deterministic pseudo-model: mixes the sample and the timestep
+        return np.tanh(sample) * 0.1 + np.sin(t / 97.0)
+
+    oracle = _EagerPLMS(SCHED, 10)
+    xs = x.astype(np.float64)
+    for t in oracle.timesteps:
+        eps = eps_fn_np(xs, t)
+        xs = oracle.step(eps, int(t), xs)
+
+    plan = plms_plan(SCHED, 10)
+    out = _run(plan, jnp.asarray(x),
+               lambda s, t: jnp.asarray(eps_fn_np(np.asarray(s), t),
+                                        dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), xs, atol=1e-4, rtol=1e-4)
+
+
+def test_frame0_pinning():
+    """With step_slice=1:, frame 0 never changes."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 3, 4, 4, 2)), dtype=jnp.float32)
+    plan = ddim_plan(SCHED, 5)
+    rows = plan_row_arrays(plan)
+    sl = slice(1, None)
+    state = init_state(plan, x, step_slice=sl)
+    for i in range(plan.num_iterations):
+        row = jax.tree.map(lambda a: a[i], rows)
+        eps = jnp.ones_like(x[:, sl]) * 0.3
+        state = sampler_step(plan.kind, row, state, eps, step_slice=sl)
+    np.testing.assert_array_equal(np.asarray(state.latents[:, 0]),
+                                  np.asarray(x[:, 0]))
+    assert not np.allclose(np.asarray(state.latents[:, 1]),
+                           np.asarray(x[:, 1]))
