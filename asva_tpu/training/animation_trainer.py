@@ -1,0 +1,138 @@
+"""AVSyncD diffusion training: loss, train state, and sharded train step.
+
+Behavioral contract (reference
+avgen/models/trainers/audio_cond_animation_trainer.py:70-150):
+  * VAE-encode frames without gradients; latents scaled by 0.18215,
+  * audio tower runs frozen; null audio encodings come from a zero mel,
+  * per-sample Bernoulli condition dropout swaps text -> null text encoding
+    (prob text_cond_drop_prob) and audio -> null audio (audio_cond_drop_prob),
+  * uniform random train timestep per sample; DDPM add_noise; frame-0 latent
+    re-pinned clean; epsilon (or v) target,
+  * MSE over frames 1..f-1 (frame 0 excluded unless loss_on_first_frame).
+
+TPU re-design: the whole step (encoders + UNet fwd/bwd + optax update) is
+one jit program over the (data, fsdp) mesh; gradient cross-replica sums are
+inserted by the SPMD partitioner.  Gradient accumulation is a host-level
+loop of `accumulate_step` followed by `apply_step` (optax.MultiSteps would
+also work but doubles optimizer memory for the masked params).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion.schedules import DiffusionSchedule
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any          # UNet params (the only trained module)
+    opt_state: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class AnimationTrainConfig:
+    text_cond_drop_prob: float = 0.0
+    audio_cond_drop_prob: float = 0.2
+    loss_on_first_frame: bool = False
+    prediction_type: str = "epsilon"  # or "v_prediction"
+
+
+@dataclasses.dataclass(eq=False)
+class AnimationTrainer:
+    unet: Any
+    vae: Any
+    audio_encoder: Any
+    vae_params: Any
+    audio_encoder_params: Any
+    null_text_encoding: jnp.ndarray       # (1, 77, 768)
+    schedule: DiffusionSchedule = DiffusionSchedule()
+    config: AnimationTrainConfig = AnimationTrainConfig()
+
+    def loss_fn(self, unet_params, batch: dict, rng: jax.Array) -> jnp.ndarray:
+        """batch: videos (b,f,h,w,3) in [0,1], mels (b,128,204,1),
+        text_encodings (b,77,768)."""
+        cfg = self.config
+        videos = batch["videos"]
+        b, f = videos.shape[0], videos.shape[1]
+        r_vae, r_t, r_noise, r_tdrop, r_adrop = jax.random.split(rng, 5)
+
+        # 1. frozen encoders
+        frames = (videos.reshape((b * f,) + videos.shape[2:]) - 0.5) / 0.5
+        latents = self.vae.apply(self.vae_params, frames, r_vae,
+                                 method=self.vae.sample_latents)
+        latents = latents.reshape((b, f) + latents.shape[1:])
+        latents = jax.lax.stop_gradient(latents)
+
+        _, audio_enc, audio_masks = self.audio_encoder.apply(
+            self.audio_encoder_params, batch["mels"])
+        _, null_audio_enc, _ = self.audio_encoder.apply(
+            self.audio_encoder_params, jnp.zeros_like(batch["mels"]))
+        audio_enc = jax.lax.stop_gradient(audio_enc)
+        null_audio_enc = jax.lax.stop_gradient(null_audio_enc)
+
+        # 2. per-sample condition dropout
+        text_keep = (jax.random.uniform(r_tdrop, (b, 1, 1))
+                     >= cfg.text_cond_drop_prob)
+        audio_keep = (jax.random.uniform(r_adrop, (b, 1, 1))
+                      >= cfg.audio_cond_drop_prob)
+        text_enc = jnp.where(text_keep, batch["text_encodings"],
+                             self.null_text_encoding.astype(videos.dtype))
+        audio_enc = jnp.where(audio_keep, audio_enc, null_audio_enc)
+        # masks are input-independent, so dropout does not alter them
+
+        # 3. diffusion corruption with frame-0 pinning
+        t = jax.random.randint(r_t, (b,), 0,
+                               self.schedule.num_train_timesteps)
+        noise = jax.random.normal(r_noise, latents.shape, latents.dtype)
+        noisy = self.schedule.add_noise(latents, noise, t)
+        noisy = jnp.concatenate([latents[:, 0:1], noisy[:, 1:]], axis=1)
+
+        if cfg.prediction_type == "epsilon":
+            target = noise
+        elif cfg.prediction_type == "v_prediction":
+            target = self.schedule.velocity(latents, noise, t)
+        else:
+            raise ValueError(cfg.prediction_type)
+
+        pred = self.unet.apply(unet_params, noisy, t, text_enc, audio_enc,
+                               audio_masks)
+
+        if cfg.loss_on_first_frame:
+            err = pred.astype(jnp.float32) - target.astype(jnp.float32)
+        else:
+            err = (pred[:, 1:].astype(jnp.float32)
+                   - target[:, 1:].astype(jnp.float32))
+        return jnp.mean(jnp.square(err))
+
+    # ---------------- jitted step builders ----------------
+
+    def make_train_step(self, tx: optax.GradientTransformation,
+                        donate: bool = True) -> Callable:
+        def step(state: TrainState, batch: dict, rng: jax.Array):
+            loss, grads = jax.value_and_grad(self.loss_fn)(
+                state.params, batch, rng)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(state.step + 1, params, opt_state), loss
+
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def make_grad_step(self) -> Callable:
+        """For gradient accumulation: returns (loss, grads)."""
+        def gstep(params, batch: dict, rng: jax.Array):
+            return jax.value_and_grad(self.loss_fn)(params, batch, rng)
+        return jax.jit(gstep)
+
+    def make_apply_step(self, tx: optax.GradientTransformation) -> Callable:
+        def astep(state: TrainState, grads):
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(state.step + 1, params, opt_state)
+        return jax.jit(astep, donate_argnums=(0,))

@@ -1,0 +1,69 @@
+"""Optimizer construction with trainable-parameter masking.
+
+The reference fine-tunes ONLY parameters whose torch names contain "_temp"
+or "_audio" (configs/audio-cond_animation/*.yaml `trainable_modules`,
+scripts/animation_train.py:115-121); everything else — the grafted SD1.5
+image weights — stays frozen.  Here the same policy is a pytree mask fed to
+`optax.masked`, so frozen params receive no Adam state (big memory win) and
+no weight decay.
+
+AdamW hyperparameters mirror the reference configs: lr 1e-4 constant (or
+constant-with-warmup), betas (0.9, 0.999), eps 1e-8, weight decay 1e-2,
+global-norm grad clip 1.0.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import optax
+
+
+def trainable_mask(params: Any,
+                   patterns: Optional[Sequence[str]] = ("temp", "audio"),
+                   ) -> Any:
+    """True where any path segment contains one of `patterns`.
+
+    patterns=None marks everything trainable.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def is_trainable(path) -> bool:
+        if patterns is None:
+            return True
+        segs = [getattr(k, "key", str(k)) for k in path]
+        return any(p in str(s) for s in segs for p in patterns)
+
+    treedef = jax.tree.structure(params)
+    return jax.tree.unflatten(treedef,
+                              [is_trainable(path) for path, _ in flat])
+
+
+def build_optimizer(
+    learning_rate: float = 1e-4,
+    *,
+    mask: Any = None,
+    max_grad_norm: float = 1.0,
+    adam_beta1: float = 0.9,
+    adam_beta2: float = 0.999,
+    adam_eps: float = 1e-8,
+    weight_decay: float = 1e-2,
+    warmup_steps: int = 0,
+) -> optax.GradientTransformation:
+    if warmup_steps > 0:
+        schedule: Any = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    else:
+        schedule = learning_rate
+    tx = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(schedule, b1=adam_beta1, b2=adam_beta2, eps=adam_eps,
+                    weight_decay=weight_decay),
+    )
+    if mask is not None:
+        # frozen leaves get a hard zero update (optax.masked alone would
+        # pass their raw gradients through); the global-norm clip then runs
+        # over trainable grads only, matching the reference's clipping of
+        # requires_grad params.
+        tx = optax.multi_transform({True: tx, False: optax.set_to_zero()},
+                                   param_labels=mask)
+    return tx

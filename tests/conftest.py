@@ -11,6 +11,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# sitecustomize may import jax before this file runs, freezing the platform
+# choice from the outer env — override through the live config instead.
+jax.config.update("jax_platforms", "cpu")
+
 # fp32 parity tests need true fp32 contractions (the platform default may
 # use bf16-passes); production code paths run in bf16 explicitly.
 jax.config.update("jax_default_matmul_precision", "highest")

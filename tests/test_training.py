@@ -1,0 +1,110 @@
+"""Sharded training-step tests on the 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from asva_tpu.models.imagebind_audio import (ImageBindAudioConfig,
+                                             SegmaskAudioEncoder)
+from asva_tpu.models.unet3d import AudioUNet3D, UNet3DConfig
+from asva_tpu.models.vae import AutoencoderKL, VAEConfig
+from asva_tpu.parallel import (batch_sharding, fsdp_shardings, make_mesh,
+                               replicate)
+from asva_tpu.parallel.sharding import shard_pytree
+from asva_tpu.training import (AnimationTrainConfig, AnimationTrainer,
+                               TrainState, build_optimizer, trainable_mask)
+
+
+def _build(video_length=4):
+    unet = AudioUNet3D(UNet3DConfig.tiny())
+    vae = AutoencoderKL(VAEConfig.tiny())
+    audio_cfg = ImageBindAudioConfig.tiny()
+    audio_enc = SegmaskAudioEncoder(audio_cfg, n_segment=video_length)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    unet_params = unet.init(
+        k1, jnp.zeros((1, video_length, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 7, 768)), jnp.zeros((1, 229, audio_cfg.embed_dim)),
+        jnp.ones((1, video_length, 229), bool))
+    vae_params = vae.init(k2, jnp.zeros((1, 16, 16, 3)), k2)
+    audio_params = audio_enc.init(k3, jnp.zeros((1, 128, 204, 1)))
+    trainer = AnimationTrainer(
+        unet=unet, vae=vae, audio_encoder=audio_enc,
+        vae_params=vae_params, audio_encoder_params=audio_params,
+        null_text_encoding=jnp.zeros((1, 7, 768)),
+        config=AnimationTrainConfig(audio_cond_drop_prob=0.2))
+    return trainer, unet_params
+
+
+def _batch(rng, b=8, f=4):
+    return {
+        "videos": jnp.asarray(rng.random((b, f, 16, 16, 3)),
+                              dtype=jnp.float32),
+        "mels": jnp.asarray(rng.standard_normal((b, 128, 204, 1)),
+                            dtype=jnp.float32),
+        "text_encodings": jnp.asarray(rng.standard_normal((b, 7, 768)),
+                                      dtype=jnp.float32),
+    }
+
+
+def test_trainable_mask_patterns():
+    _, params = _build()
+    mask = trainable_mask(params)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    on = [jax.tree_util.keystr(p) for p, v in flat if v]
+    off = [jax.tree_util.keystr(p) for p, v in flat if not v]
+    assert on and off
+    assert all(("temp" in p or "audio" in p) for p in on)
+    # the grafted image-path weights stay frozen
+    assert any("attn1" in p for p in off)
+    assert any("conv_in" in p for p in off)
+    # FF temporal mixers and audio attention train
+    assert any("temp_kernel" in p for p in on)
+    assert any("attn_audio" in p for p in on)
+
+
+def test_sharded_train_step_runs_and_respects_freezing(rng):
+    trainer, unet_params = _build()
+    mesh = make_mesh(8, fsdp=2)
+    mask = trainable_mask(unet_params)
+    tx = build_optimizer(1e-3, mask=mask)
+
+    shardings = fsdp_shardings(unet_params, mesh, min_size=2 ** 10)
+    params = shard_pytree(unet_params, shardings)
+    opt_state = tx.init(params)
+    state = TrainState(jnp.zeros((), jnp.int32), params, opt_state)
+
+    batch = jax.device_put(_batch(rng), batch_sharding(mesh))
+    step = trainer.make_train_step(tx, donate=False)
+    with jax.sharding.set_mesh(mesh):
+        state2, loss1 = step(state, batch, jax.random.PRNGKey(1))
+        state3, loss2 = step(state2, batch, jax.random.PRNGKey(2))
+
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    assert int(state3.step) == 2
+
+    # frozen params identical; at least one trainable param changed
+    flat0 = jax.tree_util.tree_flatten_with_path(unet_params)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(state3.params)[0]
+    maskf = jax.tree_util.tree_flatten_with_path(mask)[0]
+    changed = 0
+    for (p0, v0), (p2, v2), (pm, m) in zip(flat0, flat2, maskf):
+        assert p0 == p2 == pm
+        if m:
+            changed += int(not np.allclose(np.asarray(v0), np.asarray(v2)))
+        else:
+            np.testing.assert_array_equal(np.asarray(v0), np.asarray(v2))
+    assert changed > 0
+
+
+def test_loss_decreases_on_fixed_batch(rng):
+    trainer, params = _build()
+    mask = trainable_mask(params)
+    tx = build_optimizer(2e-3, mask=mask)
+    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    batch = _batch(rng, b=2)
+    step = trainer.make_train_step(tx, donate=False)
+    fixed_rng = jax.random.PRNGKey(3)
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, batch, fixed_rng)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
