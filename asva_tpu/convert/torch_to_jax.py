@@ -1,0 +1,296 @@
+"""PyTorch checkpoint -> flax parameter conversion.
+
+Handles every published artifact the reference consumes:
+  * SD1.5 UNet 2D weights grafted into the 3D AudioUNet3D — the
+    `from_pretrained_2d` semantics (reference
+    avgen/models/unets/audio_cond_unet_3d_condition.py:800-838): any of our
+    parameters with no matching torch key (the `_temp`/`_audio` additions)
+    or a mismatched shape keeps its fresh initialization;
+  * trained AVSyncD 3D UNet checkpoints (same key space plus _temp/_audio);
+  * SD1.5 VAE, CLIP text encoder;
+  * ImageBind audio tower (and the reference's saved audio_encoder exports);
+  * AVSync classifier modules (and raw AVID-CMA init checkpoints).
+
+Weight-layout transforms are inferred from ranks:
+  conv (O,I,kh[,kw,kt]) -> (kh,kw[,kt],I,O);  linear (O,I) -> (I,O);
+  1x1 conv -> Dense;  fused qkv stays [q;k;v] rows -> columns.
+"""
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def load_torch_state(path: str) -> Dict[str, np.ndarray]:
+    """Load a .bin/.pt/.safetensors state dict into numpy (host)."""
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+        out = {}
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+    import torch
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    if isinstance(state, dict) and "model" in state and all(
+            hasattr(v, "numpy") for v in state["model"].values()):
+        state = state["model"]
+    return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in state.items()}
+
+
+def _adapt(value: np.ndarray, target_shape) -> Optional[np.ndarray]:
+    """Re-layout a torch tensor to the flax parameter shape, or None."""
+    v = value
+    ts = tuple(target_shape)
+    if v.shape == ts:
+        return v
+    if v.ndim == 4 and len(ts) == 4:          # conv2d
+        v2 = v.transpose(2, 3, 1, 0)
+        return v2 if v2.shape == ts else None
+    if v.ndim == 5 and len(ts) == 5:          # conv3d
+        v2 = v.transpose(2, 3, 4, 1, 0)
+        return v2 if v2.shape == ts else None
+    if v.ndim == 2 and len(ts) == 2:          # linear
+        v2 = v.T
+        return v2 if v2.shape == ts else None
+    if v.ndim == 4 and len(ts) == 2:          # 1x1 conv -> Dense
+        v2 = v[:, :, 0, 0].T
+        return v2 if v2.shape == ts else None
+    if v.ndim == 3 and len(ts) == 3:          # cls_token / pos_embed
+        return v if v.shape == ts else None
+    if v.ndim == 2 and len(ts) == 1 and v.shape[0] == 1:
+        return v[0] if v[0].shape == ts else None
+    return None
+
+
+def convert_state_dict(fresh_params, torch_state: Dict[str, np.ndarray],
+                       key_fn: Callable[[tuple], Optional[str]],
+                       strict: bool = False):
+    """Walk the flax tree; for each leaf pull key_fn(path) from torch_state.
+
+    Returns (params, report) where report lists converted / kept-fresh /
+    unused-torch keys.
+    """
+    used, fresh_kept, converted = set(), [], []
+
+    def visit(path, leaf):
+        segs = tuple(getattr(k, "key", str(k)) for k in path)
+        key = key_fn(segs)
+        if key is not None and key in torch_state:
+            adapted = _adapt(torch_state[key], leaf.shape)
+            if adapted is not None:
+                used.add(key)
+                converted.append(".".join(segs))
+                return jax.numpy.asarray(adapted, dtype=leaf.dtype)
+        fresh_kept.append(".".join(segs))
+        return leaf
+
+    new_params = jax.tree_util.tree_map_with_path(visit, fresh_params)
+    unused = [k for k in torch_state if k not in used]
+    report = {"converted": converted, "fresh": fresh_kept, "unused": unused}
+    if strict and fresh_kept:
+        raise ValueError(f"missing torch keys for: {fresh_kept[:20]} ...")
+    return new_params, report
+
+
+# ---------------------------------------------------------------------------
+# key maps
+# ---------------------------------------------------------------------------
+
+_IDX = re.compile(r"^(down_blocks|up_blocks|attentions|resnets|blocks)_(\d+)$")
+
+
+def unet_key_map(segs: tuple) -> Optional[str]:
+    """Our AudioUNet3D flax path -> diffusers UNet torch key."""
+    out = []
+    i = 0
+    segs = [s for s in segs if s not in ("params", "batch_stats")]
+    while i < len(segs):
+        s = segs[i]
+        m = _IDX.match(s)
+        if m:
+            name = "transformer_blocks" if m.group(1) == "blocks" else m.group(1)
+            out.append(f"{name}.{m.group(2)}")
+        elif s == "downsample":
+            out.append("downsamplers.0")
+        elif s == "upsample":
+            out.append("upsamplers.0")
+        elif s == "proj":        # MultiHeadProjections wrapper — transparent
+            pass
+        elif s.startswith("proj_to_"):   # temporal attention projections
+            out.append(s.replace("proj_", ""))
+        elif s == "to_out":
+            out.append("to_out.0")
+        elif s == "ff":
+            nxt = segs[i + 1]
+            out.append("ff.net.0.proj" if nxt == "proj_in" else "ff.net.2")
+            i += 2
+            continue
+        elif s == "conv" and i + 1 < len(segs) and segs[i + 1] in (
+                "kernel", "bias"):
+            pass                          # FFInflatedConv inner conv
+        elif s == "temp_kernel":
+            out.append("conv_temp.weight")
+        elif s == "temp_bias":
+            out.append("conv_temp.bias")
+        elif s == "kernel" or s == "scale":
+            out.append("weight")
+        elif s == "bias":
+            out.append("bias")
+        else:
+            out.append(s)
+        i += 1
+    return ".".join(out)
+
+
+def vae_key_map(segs: tuple) -> Optional[str]:
+    """Our AutoencoderKL flax path -> diffusers VAE torch key."""
+    out = []
+    for s in segs:
+        if s in ("params", "batch_stats"):
+            continue
+        m = re.match(r"^(down|up)_(\d+)_resnet_(\d+)$", s)
+        if m:
+            out.append(f"{m.group(1)}_blocks.{m.group(2)}.resnets.{m.group(3)}")
+            continue
+        m = re.match(r"^down_(\d+)_downsample$", s)
+        if m:
+            out.append(f"down_blocks.{m.group(1)}.downsamplers.0.conv")
+            continue
+        m = re.match(r"^up_(\d+)_upsample$", s)
+        if m:
+            out.append(f"up_blocks.{m.group(1)}.upsamplers.0.conv")
+            continue
+        m = re.match(r"^mid_resnet_(\d+)$", s)
+        if m:
+            out.append(f"mid_block.resnets.{m.group(1)}")
+            continue
+        if s == "mid_attn":
+            out.append("mid_block.attentions.0")
+        elif s == "to_out":
+            out.append("to_out.0")
+        elif s in ("kernel", "scale"):
+            out.append("weight")
+        else:
+            out.append(s)
+    return ".".join(out)
+
+
+def clip_text_key_map(segs: tuple) -> Optional[str]:
+    """Our CLIPTextModel path -> HF CLIPTextModel torch key."""
+    out = ["text_model"]
+    for s in segs:
+        if s in ("params", "batch_stats"):
+            continue
+        m = re.match(r"^blocks_(\d+)$", s)
+        if m:
+            out.append(f"encoder.layers.{m.group(1)}")
+        elif s == "token_embedding":
+            out.append("embeddings.token_embedding")
+        elif s == "position_embedding":
+            return "text_model.embeddings.position_embedding.weight"
+        elif s in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            out.append(f"self_attn.{s}")
+        elif s == "ln1":
+            out.append("layer_norm1")
+        elif s == "ln2":
+            out.append("layer_norm2")
+        elif s in ("fc1", "fc2"):
+            out.append(f"mlp.{s}")
+        elif s == "final_ln":
+            out.append("final_layer_norm")
+        elif s == "embedding":   # flax nn.Embed leaf
+            out.append("weight")
+        elif s in ("kernel", "scale"):
+            out.append("weight")
+        else:
+            out.append(s)
+    return ".".join(out)
+
+
+def imagebind_audio_key_map(segs: tuple) -> Optional[str]:
+    """Our SegmaskAudioEncoder path -> the reference audio_encoder export key
+    space (preprocessor./trunk./head./final_layer_norm. prefixes, which the
+    reference's save_pretrained produces from the wrapped ImageBind tower)."""
+    segs = [s for s in segs if s not in ("params", "batch_stats")]
+    if segs[0] == "imagebind":
+        segs = segs[1:]
+    leaf = {"kernel": "weight", "scale": "weight"}.get(segs[-1], segs[-1])
+    body = segs[:-1]
+    if not body:
+        return None
+    head0 = body[0]
+    if head0 == "stem_proj":
+        return f"preprocessor.audio_stem.proj.0.{leaf}"
+    if head0 == "stem_norm":
+        return f"preprocessor.audio_stem.norm_layer.{leaf}"
+    if segs == ["cls_token"]:
+        return "preprocessor.cls_token"
+    if segs == ["pos_embed"]:
+        return "preprocessor.pos_embedding_helper.pos_embed"
+    if head0 == "pre_norm":
+        return f"trunk.pre_transformer_layer.0.{leaf}"
+    m = re.match(r"^blocks_(\d+)$", head0)
+    if m:
+        i = m.group(1)
+        sub = body[1]
+        table = {
+            "norm1": f"trunk.blocks.{i}.norm_1",
+            "norm2": f"trunk.blocks.{i}.norm_2",
+            "qkv": f"trunk.blocks.{i}.attn.in_proj",
+            "out_proj": f"trunk.blocks.{i}.attn.out_proj",
+            "fc1": f"trunk.blocks.{i}.mlp.fc1",
+            "fc2": f"trunk.blocks.{i}.mlp.fc2",
+        }
+        if sub == "qkv":
+            return f"trunk.blocks.{i}.attn.in_proj_{leaf}"
+        if sub in table:
+            return f"{table[sub]}.{leaf}"
+    if head0 == "head_norm":
+        return f"head.0.{leaf}"
+    if head0 == "head_proj":
+        return f"head.2.{leaf}"
+    if head0 == "final_layer_norm":
+        return f"final_layer_norm.{leaf}"
+    return None
+
+
+def avsync_key_map(segs: tuple) -> Optional[str]:
+    """Our AVSyncClassifier path -> reference avsync module keys.
+
+    Works for both the reference's per-module exports (audio_encoder/,
+    video_encoder/, head/) and raw AVID-CMA checkpoints once their
+    module.{audio,video}_model. prefixes are stripped by the caller.
+    """
+    segs = [s for s in segs if s not in ("params", "batch_stats")]
+    leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                "mean": "running_mean", "var": "running_var"}
+    leaf = leaf_map.get(segs[-1], segs[-1])
+    body, out = segs[:-1], []
+    for s in body:
+        if s == "audio_encoder":
+            out.append("audio_encoder")
+        elif s == "video_encoder":
+            out.append("video_encoder")
+        elif s == "head":
+            out.append("head")
+        elif s == "stem_conv":
+            out.append("conv1.0")
+        elif s == "stem_bn":
+            out.append("conv1.1")
+        elif re.match(r"^block\d$", s):
+            out.append(s)
+        elif re.match(r"^stage(\d)_block(\d)$", s):
+            m = re.match(r"^stage(\d)_block(\d)$", s)
+            out.append(f"conv{m.group(1)}x.{m.group(2)}")
+        elif s in ("fc1", "fc2", "fc3"):
+            out.append({"fc1": "fc.0", "fc2": "fc.3", "fc3": "fc.6"}[s])
+        else:
+            out.append(s)
+    return ".".join(out + [leaf])
