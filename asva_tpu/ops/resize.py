@@ -1,0 +1,96 @@
+"""Resize with exact torch/PIL antialias numerics, as separable matmuls.
+
+The reference's metric stack is sensitive to interpolation details
+(bilinear+antialias for SD data transforms, avgen/data/utils.py:167-171;
+bicubic+antialias 224/229 for CLIP/FVD/FID preprocessing,
+avgen/evaluations/*/compute_*.py).  jax.image uses different kernel
+parameters (cubic a=-0.5 vs torch's a=-0.75), so we precompute torch's
+interpolation weights per (in_size, out_size) as host numpy matrices and
+apply them as two dense contractions — static shapes, MXU-friendly, exactly
+matching torch.nn.functional.interpolate(..., antialias=True),
+align_corners=False.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bilinear_kernel(x: np.ndarray) -> np.ndarray:
+    x = np.abs(x)
+    return np.maximum(0.0, 1.0 - x)
+
+
+def _bicubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    x = np.abs(x)
+    x2, x3 = x * x, x * x * x
+    out = np.where(x <= 1.0, (a + 2) * x3 - (a + 3) * x2 + 1,
+                   np.where(x < 2.0, a * x3 - 5 * a * x2 + 8 * a * x - 4 * a,
+                            0.0))
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def resize_matrix(in_size: int, out_size: int, kind: str = "bilinear",
+                  antialias: bool = True) -> np.ndarray:
+    """(out_size, in_size) weight matrix replicating torch interpolate.
+
+    antialias=True follows the PIL path (bicubic a=-0.5, out-of-range taps
+    dropped and renormalized); antialias=False follows torch's standard
+    kernels (bicubic a=-0.75, exactly 4 taps, indices edge-clamped).
+    """
+    scale = in_size / out_size
+    if kind == "bicubic" and not antialias:
+        w = np.zeros((out_size, in_size), dtype=np.float64)
+        for i in range(out_size):
+            center = (i + 0.5) * scale - 0.5
+            j0 = int(np.floor(center))
+            j = np.arange(j0 - 1, j0 + 3)
+            weights = _bicubic_kernel(j - center, a=-0.75)
+            for jj, ww in zip(np.clip(j, 0, in_size - 1), weights):
+                w[i, jj] += ww
+        return w.astype(np.float32)
+
+    if kind == "bilinear":
+        kernel = _bilinear_kernel
+    else:
+        def kernel(x):
+            return _bicubic_kernel(x, a=-0.5)  # PIL bicubic
+    base_support = 1.0 if kind == "bilinear" else 2.0
+    support_scale = max(scale, 1.0) if antialias else 1.0
+    support = base_support * support_scale
+
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    for i in range(out_size):
+        center = (i + 0.5) * scale - 0.5
+        lo = int(np.floor(center - support)) + 1
+        hi = int(np.ceil(center + support))
+        j = np.arange(lo, hi + 1)
+        x = (j - center) / support_scale
+        weights = kernel(x)
+        # PIL/torch boundary rule: out-of-range taps are DROPPED and the
+        # remaining weights renormalized (not edge-replicated)
+        valid = (j >= 0) & (j < in_size)
+        weights = weights * valid
+        total = weights.sum()
+        for jj, ww in zip(j[valid], weights[valid] / total):
+            w[i, jj] += ww
+    return w.astype(np.float32)
+
+
+def resize_image(images: jnp.ndarray, out_h: int, out_w: int,
+                 kind: str = "bilinear", antialias: bool = True
+                 ) -> jnp.ndarray:
+    """images (..., h, w, c) -> (..., out_h, out_w, c)."""
+    h, w = images.shape[-3], images.shape[-2]
+    dtype = images.dtype
+    x = images.astype(jnp.float32)
+    if h != out_h:
+        wh = jnp.asarray(resize_matrix(h, out_h, kind, antialias))
+        x = jnp.einsum("oh,...hwc->...owc", wh, x)
+    if w != out_w:
+        ww = jnp.asarray(resize_matrix(w, out_w, kind, antialias))
+        x = jnp.einsum("ow,...hwc->...hoc", ww, x)
+    return x.astype(dtype)
