@@ -1,0 +1,87 @@
+"""Threaded prefetching batch loader (host-side).
+
+Replaces torch DataLoader workers in the reference's input path: decode is
+released-GIL C++ (libav) so a thread pool pipelines well; batches are
+stacked numpy dicts ready for `jax.device_put` with a batch sharding.
+Supports per-host sharding for multi-host DP (shard=(host_index, n_hosts)).
+"""
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 8, drop_last: bool = True,
+                 seed: int = 0, shard: Tuple[int, int] = (0, 1),
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.shard = shard
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        idx, n = self.shard
+        per_host = len(self.dataset) // n if n > 1 else len(self.dataset)
+        if self.drop_last:
+            return per_host // self.batch_size
+        return (per_host + self.batch_size - 1) // self.batch_size
+
+    def _indices(self):
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(order)
+        idx, n = self.shard
+        return order[idx::n] if n > 1 else order
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._indices()
+        self.epoch += 1
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_ids in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              batch_ids))
+                        collated = {
+                            k: np.stack([it[k] for it in items])
+                            for k in items[0]}
+                        out_q.put(collated)
+            except Exception as e:  # surface worker errors to the consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,92 @@
+"""Dataset + loader tests over synthetic media fixtures."""
+import os
+
+import numpy as np
+import pytest
+
+from asva_tpu.data.media import media_available, write_video
+
+pytestmark = pytest.mark.skipif(not media_available(),
+                                reason="libasva_media.so not built")
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("videos")
+    (root / "dog").mkdir()
+    (root / "cat").mkdir()
+    rng = np.random.default_rng(0)
+    names = []
+    for cls, name in [("dog", "a.mp4"), ("dog", "b.mp4"), ("cat", "c.mp4")]:
+        n, h, w, fps = 72, 64, 80, 12.0
+        frames = (rng.random((n, h, w, 3)) * 255).astype(np.uint8)
+        t = np.arange(int(6.0 * 16000)) / 16000
+        audio = (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[None]
+        write_video(str(root / cls / name), frames, fps, audio, 16000)
+        names.append(f"{cls}/{name}")
+    lst = root / "train.txt"
+    lst.write_text("\n".join(names))
+    # text encodings: class -> (77, 768)
+    enc_path = root / "encodings.npz"
+    np.savez(enc_path, **{"a dog": rng.standard_normal((77, 768)).astype(np.float32),
+                          "a cat": rng.standard_normal((77, 768)).astype(np.float32)})
+    import json
+    mapping = root / "class_mapping.json"
+    mapping.write_text(json.dumps({"dog": "a dog", "cat": "a cat"}))
+    return root, str(lst), str(enc_path), str(mapping)
+
+
+def test_audio_video_dataset_items(dataset_root):
+    from asva_tpu.data.datasets import AudioVideoDataset
+    root, lst, enc, mapping = dataset_root
+    ds = AudioVideoDataset(lst, str(root), mode="train", img_size=32,
+                           video_fps=6, video_num_frame=12, randflip=True,
+                           class_mapping_json=mapping,
+                           class_text_encoding_mapping_path=enc, seed=0)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["video"].shape == (12, 32, 32, 3)
+    assert item["video"].min() >= 0.0 and item["video"].max() <= 1.0
+    assert item["waveform"].shape == (32000,)
+    assert item["text_encoding"].shape == (77, 768)
+
+
+def test_dataloader_batches(dataset_root):
+    from asva_tpu.data.datasets import AudioVideoDataset
+    from asva_tpu.data.loader import DataLoader
+    root, lst, enc, mapping = dataset_root
+    ds = AudioVideoDataset(lst, str(root), mode="train", img_size=32,
+                           class_mapping_json=mapping,
+                           class_text_encoding_mapping_path=enc, seed=0)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2,
+                    drop_last=True)
+    batches = list(dl)
+    assert len(batches) == len(dl) == 1
+    b = batches[0]
+    assert b["video"].shape == (2, 12, 32, 32, 3)
+    assert b["waveform"].shape == (2, 32000)
+
+
+def test_multipair_dataset(dataset_root):
+    from asva_tpu.data.multipair import MultiPairAVDataset
+    root, lst, _, _ = dataset_root
+    ds = MultiPairAVDataset(lst, str(root), mode="train", image_size=32,
+                            video_fps=6, video_num_frames=4,
+                            shift_time=0.2, num_clips=5,
+                            sampling_type="random-compact", seed=0)
+    item = ds[0]
+    assert item["videos"].shape == (5, 4, 32, 32, 3)
+    assert item["waveforms"].shape == (5, int(4 / 6 * 16000))
+    # CLIP normalization leaves roughly zero-centered values
+    assert abs(float(item["videos"].mean())) < 2.0
+
+
+def test_multipair_uniform_and_center(dataset_root):
+    from asva_tpu.data.multipair import MultiPairAVDataset
+    root, lst, _, _ = dataset_root
+    for st in ("uniform", "center-compact", "random"):
+        ds = MultiPairAVDataset(lst, str(root), image_size=32,
+                                video_num_frames=4, num_clips=3,
+                                shift_time=0.1, sampling_type=st, seed=1)
+        item = ds[1]
+        assert item["videos"].shape[0] == 3
