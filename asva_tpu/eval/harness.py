@@ -1,0 +1,200 @@
+"""End-to-end generation evaluation (FID / FVD / IA / IT / RelSync /
+AlignSync over a generated-clip directory).
+
+Mirrors the reference evaluate_generation_results
+(avgen/evaluations/eval.py:28-279):
+  * for every GT video, `num_clips_per_video` generated clips named
+    <gt_stem>*.mp4 must exist in `generated_video_root`;
+  * pass 1 walks GT videos (sorted) computing FID/FVD features, first-frame
+    IA similarity and AVSync scores on uniformly sampled clips;
+  * pass 2 walks generated clips computing the same plus IA/IT;
+  * reducers: Fréchet distances (FID excludes frame 0), IA/IT mean±std over
+    frames 1.., RelSync = sigma-pair(gen, GT), AlignSync = align_prob *
+    RelSync; JSON dump to `result_save_path`.
+
+Metric models arrive as an `EvalModels` bundle of jitted callables so tests
+can inject tiny networks and checkpoints can be swapped without touching the
+harness.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from glob import glob
+from typing import Callable, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ..data.media import MediaReader
+from ..data.transforms import (clip_frame_transform, fid_frame_transform,
+                               fvd_frame_transform, sd_video_transform)
+from ..ops.mel import waveform_to_mel
+from ..ops.resample import resample
+from .frechet import frechet_distance
+from .metrics import alignsync_from_sims, relsync_from_scores
+
+
+@dataclasses.dataclass
+class EvalModels:
+    """Jitted metric callables; any may be None to skip its metric."""
+    fid_features: Optional[Callable] = None   # (n,229,229,3)[-1,1] -> (n,2048)
+    fvd_features: Optional[Callable] = None   # (b,f,224,224,3)[-1,1] -> (b,c)
+    avsync_score: Optional[Callable] = None   # (b,mel),(b,f,224,224,3)clip->(b,)
+    ia_sim: Optional[Callable] = None         # (n,224,224,3)clip,(n,mel)->(n,)
+    it_sim: Optional[Callable] = None         # (n,224,224,3)clip,(n,77)ids->(n,)
+
+
+def load_av_clips_uniformly(video_path: str, video_fps: int,
+                            video_num_frame: int,
+                            image_size: Union[int, Tuple[int, int]],
+                            num_clips: int):
+    """(b, f, h, w, 3) [0,1] videos + (b, 128, 204, 1) mels, clips uniformly
+    spaced over the file (reference avgen/data/utils.py:271-330)."""
+    clip_duration = video_num_frame / video_fps
+    with MediaReader(video_path) as r:
+        av_duration = min(r.video_duration, r.audio_duration)
+        if num_clips == 1:
+            starts = np.array([(av_duration - clip_duration) / 2.0])
+        else:
+            starts = np.linspace(0.0, av_duration - clip_duration, num_clips)
+        videos, mels = [], []
+        sr = r.audio_sample_rate
+        for s in starts:
+            frames = r.read_video_clip(max(s, 0.0), clip_duration, video_fps,
+                                       video_num_frame)
+            videos.append(np.asarray(sd_video_transform(
+                frames.astype(np.float32) / 255.0, image_size,
+                normalize=False)))
+            wav = resample(r.read_audio(max(s, 0.0), clip_duration), sr, 16000)
+            mels.append(np.asarray(waveform_to_mel(wav[0])))
+    return np.stack(videos), np.stack(mels)
+
+
+def evaluate_generation_results(
+    models: EvalModels,
+    groundtruth_video_root: str,
+    groundtruth_video_names: List[str],
+    groundtruth_categories: List[str],
+    num_clips_per_video: int,
+    generated_video_root: str,
+    result_save_path: str,
+    image_size: Union[int, Tuple[int, int]] = 256,
+    video_fps: int = 6,
+    video_num_frame: int = 12,
+    text_ids_for_category: Optional[Callable] = None,
+    record_instance_metrics: bool = False,
+) -> dict:
+    names = sorted(groundtruth_video_names)
+    cat_by_name = dict(zip(groundtruth_video_names, groundtruth_categories))
+
+    for name in names:
+        stem = name.replace(".mp4", "")
+        found = len(glob(f"{generated_video_root}/{stem}*.mp4"))
+        assert found == num_clips_per_video, \
+            f"{name}: {found} generated clips != {num_clips_per_video}"
+
+    result = {"groundtruth_video_root": groundtruth_video_root,
+              "generated_video_root": generated_video_root,
+              "num_clips_per_video": num_clips_per_video}
+
+    gt_fid, gen_fid, gt_fvd, gen_fvd = [], [], [], []
+    gt_first_ia, gen_pred_ia = [], []
+    gt_sync, gen_sync, gen_ia, gen_it = [], [], [], []
+
+    def fvd_in(videos):
+        return fvd_frame_transform(videos)
+
+    # pass 1: ground truth
+    for name in names:
+        videos, mels = load_av_clips_uniformly(
+            os.path.join(groundtruth_video_root, name), video_fps,
+            video_num_frame, image_size, num_clips_per_video)
+        if models.fid_features is not None:
+            flat = fid_frame_transform(videos).reshape(
+                (-1,) + (229, 229, 3))
+            feats = np.asarray(models.fid_features(flat))
+            gt_fid.append(feats.reshape(videos.shape[0], video_num_frame, -1))
+        if models.fvd_features is not None:
+            gt_fvd.append(np.asarray(models.fvd_features(fvd_in(videos))))
+        if models.ia_sim is not None:
+            first = clip_frame_transform(videos[:, 0])
+            gt_first_ia.append(np.asarray(
+                models.ia_sim(first, mels))[:, None])
+        if models.avsync_score is not None:
+            gt_sync.append(np.asarray(models.avsync_score(
+                mels, clip_frame_transform(videos))))
+
+    # pass 2: generated clips
+    for name in names:
+        stem = name.replace(".mp4", "")
+        for path in sorted(glob(f"{generated_video_root}/{stem}*.mp4")):
+            videos, mels = load_av_clips_uniformly(
+                path, video_fps, video_num_frame, image_size, 1)
+            if models.fid_features is not None:
+                flat = fid_frame_transform(videos).reshape((-1, 229, 229, 3))
+                feats = np.asarray(models.fid_features(flat))
+                gen_fid.append(feats.reshape(1, video_num_frame, -1))
+            if models.fvd_features is not None:
+                gen_fvd.append(np.asarray(models.fvd_features(fvd_in(videos))))
+            if models.ia_sim is not None or models.it_sim is not None:
+                frames = np.asarray(clip_frame_transform(videos[0]))
+                if models.ia_sim is not None:
+                    mels_rep = np.repeat(mels, video_num_frame, axis=0)
+                    sims = np.asarray(models.ia_sim(frames, mels_rep))
+                    gen_ia.append(sims[1:].mean(keepdims=True))
+                    gen_pred_ia.append(sims[None, 1:])
+                if models.it_sim is not None and text_ids_for_category:
+                    ids = text_ids_for_category(cat_by_name[name])
+                    ids_rep = np.repeat(ids[None], video_num_frame, axis=0)
+                    its = np.asarray(models.it_sim(frames, ids_rep))
+                    gen_it.append(its[1:].mean(keepdims=True))
+            if models.avsync_score is not None:
+                gen_sync.append(np.asarray(models.avsync_score(
+                    mels, clip_frame_transform(videos))))
+
+    # reducers
+    if models.fid_features is not None:
+        a = np.concatenate(gt_fid)[:, 1:].reshape(-1, gt_fid[0].shape[-1])
+        b = np.concatenate(gen_fid)[:, 1:].reshape(-1, gen_fid[0].shape[-1])
+        result["FID"] = frechet_distance(a, b)
+    if models.fvd_features is not None:
+        result["FVD"] = frechet_distance(np.concatenate(gt_fvd),
+                                         np.concatenate(gen_fvd))
+    if gen_ia:
+        ias = np.concatenate(gen_ia)
+        result.update(IA_mean=float(ias.mean()), IA_std=float(ias.std(ddof=1)))
+    if gen_it:
+        its = np.concatenate(gen_it)
+        result.update(IT_mean=float(its.mean()), IT_std=float(its.std(ddof=1)))
+    if models.avsync_score is not None:
+        gt_s = np.repeat(np.stack(gt_sync).reshape(-1), 1)
+        gen_s = np.concatenate(gen_sync)
+        rel = relsync_from_scores(gt_s, gen_s)
+        result.update(RelSync_mean=float(rel.mean()),
+                      RelSync_std=float(rel.std(ddof=1)))
+        if gen_pred_ia:
+            align = alignsync_from_sims(np.concatenate(gt_first_ia).reshape(-1, 1),
+                                        np.concatenate(gen_pred_ia), rel)
+            result.update(AlignSync_mean=float(align.mean()),
+                          AlignSync_std=float(align.std(ddof=1)))
+
+    if record_instance_metrics and models.avsync_score is not None:
+        inst = {}
+        i = 0
+        for name in names:
+            stem = name.replace(".mp4", "")
+            for path in sorted(glob(f"{generated_video_root}/{stem}*.mp4")):
+                key = os.path.basename(path)
+                inst[key] = {"RelSync": float(rel[i])}
+                if gen_ia:
+                    inst[key]["IA"] = float(np.concatenate(gen_ia)[i])
+                if gen_pred_ia:
+                    inst[key]["AlignSync"] = float(align[i])
+                i += 1
+        result["instance_metrics"] = inst
+
+    os.makedirs(os.path.dirname(result_save_path) or ".", exist_ok=True)
+    with open(result_save_path, "w") as f:
+        json.dump(result, f, indent=4)
+    return result

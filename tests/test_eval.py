@@ -1,0 +1,97 @@
+"""Evaluation harness tests with synthetic media and stub metric models."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from asva_tpu.eval import (alignsync_from_sims, frechet_distance,
+                           relsync_from_scores)
+from asva_tpu.data.media import media_available, write_video
+
+pytestmark = pytest.mark.skipif(not media_available(),
+                                reason="libasva_media.so not built")
+
+
+def test_frechet_identical_is_zero(rng):
+    x = rng.standard_normal((500, 16)).astype(np.float64)
+    d = frechet_distance(x, x.copy())
+    assert abs(d) < 1e-6
+
+
+def test_frechet_mean_shift_analytic(rng):
+    x = rng.standard_normal((20000, 4))
+    y = x + np.array([1.0, 0, 0, 0])
+    d = frechet_distance(x, y)
+    assert abs(d - 1.0) < 0.05  # ||mu1-mu2||^2 = 1, covariances equal
+
+
+def test_relsync_formula():
+    rel = relsync_from_scores(np.array([0.0, 2.0]), np.array([0.0, 2.0]))
+    np.testing.assert_allclose(rel, [0.5, 0.5], atol=1e-6)
+    rel2 = relsync_from_scores(np.array([0.0]), np.array([100.0]))
+    assert rel2[0] > 0.999  # stable for large scores
+
+
+def test_alignsync_formula():
+    rel = np.array([0.8])
+    out = alignsync_from_sims(np.array([[0.2]]), np.array([[0.2, 0.2]]), rel)
+    np.testing.assert_allclose(out, 0.5 * 0.8, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def eval_tree(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    gt_root = tmp_path_factory.mktemp("gt")
+    gen_root = tmp_path_factory.mktemp("gen")
+    names = ["dog/x.mp4", "cat/y.mp4"]
+    t = np.arange(int(3.0 * 16000)) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
+    for name in names:
+        frames = (rng.random((18, 64, 64, 3)) * 255).astype(np.uint8)
+        (gt_root / name.split("/")[0]).mkdir(exist_ok=True)
+        write_video(str(gt_root / name), frames, 6.0, audio, 16000)
+        for k in range(2):
+            stem = name.replace(".mp4", "")
+            (gen_root / name.split("/")[0]).mkdir(exist_ok=True)
+            gframes = (rng.random((12, 64, 64, 3)) * 255).astype(np.uint8)
+            write_video(str(gen_root / f"{stem}_clip-{k:02d}.mp4"),
+                        gframes, 6.0, audio[:, :32000], 16000)
+    return str(gt_root), str(gen_root), names
+
+
+def test_harness_end_to_end_with_stub_models(eval_tree, tmp_path):
+    from asva_tpu.eval.harness import EvalModels, evaluate_generation_results
+    gt_root, gen_root, names = eval_tree
+
+    def fid_features(x):   # (n, 229, 229, 3) -> (n, 8)
+        x = jnp.asarray(x)
+        return jnp.stack([x.mean((1, 2, 3)), x.std((1, 2, 3))] * 4, axis=-1)
+
+    def fvd_features(v):   # (b, f, 224, 224, 3) -> (b, 6)
+        v = jnp.asarray(v)
+        return jnp.stack([v.mean((1, 2, 3, 4)), v.std((1, 2, 3, 4))] * 3,
+                         axis=-1)
+
+    def avsync_score(mels, videos):
+        return jnp.asarray(mels).mean((1, 2, 3)) + \
+            jnp.asarray(videos).mean((1, 2, 3, 4))
+
+    def ia_sim(frames, mels):
+        return jnp.asarray(frames).mean((1, 2, 3)) * 0.1
+
+    models = EvalModels(fid_features=fid_features, fvd_features=fvd_features,
+                        avsync_score=avsync_score, ia_sim=ia_sim)
+    out = evaluate_generation_results(
+        models, gt_root, names, ["dog", "cat"], num_clips_per_video=2,
+        generated_video_root=gen_root,
+        result_save_path=str(tmp_path / "result.json"),
+        image_size=64, video_fps=6, video_num_frame=12,
+        record_instance_metrics=True)
+    for key in ("FID", "FVD", "IA_mean", "RelSync_mean", "AlignSync_mean"):
+        assert key in out, key
+        assert np.isfinite(out[key] if isinstance(out[key], float)
+                           else out[key])
+    assert len(out["instance_metrics"]) == 4
+    import os, json
+    assert os.path.exists(tmp_path / "result.json")
+    json.load(open(tmp_path / "result.json"))
