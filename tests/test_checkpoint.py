@@ -1,0 +1,44 @@
+"""Checkpoint retention + exact resume tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from asva_tpu.training.checkpoint import CheckpointManager
+
+
+def _state(step):
+    return {"step": jnp.asarray(step),
+            "params": {"w": jnp.full((4, 4), float(step))},
+            "opt": {"mu": jnp.full((4, 4), 0.1 * step)}}
+
+
+def test_retention_keeps_milestones(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), checkpointing_steps=10,
+                            milestone_steps=30)
+    for step in range(1, 61):
+        if mgr.should_save(step):
+            mgr.save(step, _state(step))
+    # milestones 30, 60 survive; plus the latest (60 is both)
+    assert mgr.existing_steps() == [30, 60]
+
+
+def test_retention_keeps_latest_nonmilestone(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), checkpointing_steps=10,
+                            milestone_steps=100)
+    for step in (10, 20, 30):
+        mgr.save(step, _state(step))
+    assert mgr.existing_steps() == [30]
+
+
+def test_exact_resume_roundtrip(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), checkpointing_steps=5)
+    state = _state(5)
+    mgr.save(5, state)
+    mgr2 = CheckpointManager(str(tmp_path), checkpointing_steps=5)
+    assert mgr2.latest_step() == 5
+    step, restored = mgr2.restore_latest(jax.tree.map(np.zeros_like, state))
+    assert step == 5
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(state["params"]["w"]))
+    np.testing.assert_array_equal(np.asarray(restored["opt"]["mu"]),
+                                  np.asarray(state["opt"]["mu"]))
