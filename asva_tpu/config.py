@@ -103,7 +103,9 @@ class AnimationJobConfig:
         unet_d = dict(model.get("unet", {}))
         unet_kwargs = {}
         for key in ("down_block_types", "up_block_types", "mid_block_type",
-                    "cross_attention_dim", "audio_cross_attention_dim"):
+                    "cross_attention_dim", "audio_cross_attention_dim",
+                    "block_out_channels", "layers_per_block",
+                    "norm_num_groups", "attention_head_dim"):
             if key in unet_d:
                 v = unet_d[key]
                 unet_kwargs[key] = tuple(v) if isinstance(v, list) else v

@@ -1,0 +1,164 @@
+"""Model construction + checkpoint loading glue for the CLI scripts.
+
+Builders create the full-size flax models and, when torch artifacts are
+available (SD1.5 exports, trained AVSyncD checkpoints, AVID-CMA / classifier
+modules), convert them via asva_tpu.convert; otherwise parameters stay
+freshly initialized and a warning is logged (this sandbox ships no
+pretrained weights, but the load paths mirror the reference layout:
+  pretrained/stable-diffusion-v1-5/{vae,unet,text_encoder}/
+  <exp>/ckpts/checkpoint-<step>/modules/{unet,audio_encoder}/
+  checkpoints/avsync/.../modules/{audio_encoder,video_encoder,head}/ ).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .convert import (avsync_key_map, clip_text_key_map, convert_state_dict,
+                      imagebind_audio_key_map, load_torch_state, unet_key_map,
+                      vae_key_map)
+from .diffusion.schedules import DiffusionSchedule
+from .models.clip_text import CLIPTextConfig, CLIPTextModel
+from .models.imagebind_audio import ImageBindAudioConfig, SegmaskAudioEncoder
+from .models.avsync import AVSyncClassifier
+from .models.unet3d import AudioUNet3D, UNet3DConfig
+from .models.vae import AutoencoderKL, VAEConfig
+from .pipelines.animation import AnimationPipeline
+
+log = logging.getLogger("asva_tpu")
+
+
+def _find_weights(dirpath: str):
+    for name in ("diffusion_pytorch_model.safetensors",
+                 "diffusion_pytorch_model.bin", "pytorch_model.safetensors",
+                 "pytorch_model.bin", "model.safetensors"):
+        p = os.path.join(dirpath, name)
+        if os.path.isfile(p):
+            return p
+    return None
+
+
+def _init_params(model, *example_args, seed: int = 0):
+    return model.init(jax.random.PRNGKey(seed), *example_args)
+
+
+def _maybe_convert(params, weights_dir: Optional[str], key_map, label: str):
+    if not weights_dir:
+        return params
+    path = _find_weights(weights_dir) if os.path.isdir(weights_dir) \
+        else (weights_dir if os.path.isfile(weights_dir) else None)
+    if path is None:
+        log.warning("%s: no torch weights under %s — using fresh init",
+                    label, weights_dir)
+        return params
+    state = load_torch_state(path)
+    params, report = convert_state_dict(params, state, key_map)
+    log.info("%s: converted %d tensors (%d fresh, %d unused) from %s",
+             label, len(report["converted"]), len(report["fresh"]),
+             len(report["unused"]), path)
+    return params
+
+
+def build_unet(config: UNet3DConfig = UNet3DConfig(),
+               dtype=jnp.bfloat16, weights_dir: Optional[str] = None,
+               video_length: int = 12, seed: int = 0):
+    """weights_dir may hold a trained 3D checkpoint OR 2D SD1.5 weights —
+    `from_pretrained_2d` graft semantics fall out of the converter (missing
+    _temp/_audio keys keep their fresh/zero init)."""
+    model = AudioUNet3D(config, dtype=dtype)
+    f = video_length
+    params = _init_params(
+        model, jnp.zeros((1, f, 8, 8, config.in_channels)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768)),
+        jnp.zeros((1, 229, config.audio_cross_attention_dim)),
+        jnp.ones((1, f, 229), bool), seed=seed)
+    return model, _maybe_convert(params, weights_dir, unet_key_map, "unet")
+
+
+def build_vae(dtype=jnp.bfloat16, weights_dir: Optional[str] = None):
+    model = AutoencoderKL(VAEConfig(), dtype=dtype)
+    params = _init_params(model, jnp.zeros((1, 32, 32, 3)),
+                          jax.random.PRNGKey(0))
+    return model, _maybe_convert(params, weights_dir, vae_key_map, "vae")
+
+
+def build_audio_encoder(n_segment: int = 12, dtype=jnp.bfloat16,
+                        weights_dir: Optional[str] = None):
+    model = SegmaskAudioEncoder(ImageBindAudioConfig(), n_segment=n_segment,
+                                dtype=dtype)
+    params = _init_params(model, jnp.zeros((1, 128, 204, 1)))
+    return model, _maybe_convert(params, weights_dir, imagebind_audio_key_map,
+                                 "audio_encoder")
+
+
+def build_text_encoder(dtype=jnp.bfloat16, weights_dir: Optional[str] = None):
+    model = CLIPTextModel(CLIPTextConfig(), dtype=dtype)
+    params = _init_params(model, jnp.zeros((1, 77), jnp.int32))
+    return model, _maybe_convert(params, weights_dir, clip_text_key_map,
+                                 "text_encoder")
+
+
+def build_avsync_classifier(weights_dirs: Optional[dict] = None,
+                            dtype=jnp.float32):
+    """weights_dirs: {'audio_encoder': dir, 'video_encoder': dir,
+    'head': dir} (the reference's per-module exports)."""
+    model = AVSyncClassifier(dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 204, 1)),
+                           jnp.zeros((1, 12, 224, 224, 3)))
+    if weights_dirs:
+        merged = {}
+        for mod, d in weights_dirs.items():
+            path = _find_weights(d) if os.path.isdir(d) else d
+            if path and os.path.isfile(path):
+                for k, v in load_torch_state(path).items():
+                    merged[f"{mod}.{k}"] = v
+        if merged:
+            variables, report = convert_state_dict(variables, merged,
+                                                   avsync_key_map)
+            log.info("avsync: converted %d tensors (%d fresh)",
+                     len(report["converted"]), len(report["fresh"]))
+    return model, variables
+
+
+def load_null_text_encoding(path: Optional[str]):
+    if path and os.path.isfile(path):
+        if path.endswith(".npy"):
+            return jnp.asarray(np.load(path)).reshape(1, 77, 768)
+        import torch
+        enc = torch.load(path, map_location="cpu", weights_only=True)
+        return jnp.asarray(enc.float().numpy()).reshape(1, 77, 768)
+    return None
+
+
+def load_animation_pipeline(
+    checkpoint_modules_dir: Optional[str] = None,   # .../checkpoint-N/modules
+    sd_root: Optional[str] = "pretrained/stable-diffusion-v1-5",
+    null_text_encoding_path: Optional[str] =
+        "pretrained/openai-clip-l_null_text_encoding.pt",
+    n_segment: int = 12,
+    dtype=jnp.bfloat16,
+    unet_config: UNet3DConfig = UNet3DConfig(),
+) -> AnimationPipeline:
+    unet_dir = (os.path.join(checkpoint_modules_dir, "unet")
+                if checkpoint_modules_dir else
+                (os.path.join(sd_root, "unet") if sd_root else None))
+    audio_dir = (os.path.join(checkpoint_modules_dir, "audio_encoder")
+                 if checkpoint_modules_dir else None)
+    vae_dir = os.path.join(sd_root, "vae") if sd_root else None
+
+    unet, unet_params = build_unet(unet_config, dtype, unet_dir,
+                                   video_length=n_segment)
+    vae, vae_params = build_vae(dtype, vae_dir)
+    audio_enc, audio_params = build_audio_encoder(n_segment, dtype, audio_dir)
+    return AnimationPipeline(
+        unet=unet, vae=vae, audio_encoder=audio_enc,
+        unet_params=unet_params, vae_params=vae_params,
+        audio_encoder_params=audio_params,
+        schedule=DiffusionSchedule(),
+        null_text_encoding=load_null_text_encoding(null_text_encoding_path))

@@ -59,6 +59,10 @@ class AnimationTrainer:
         cfg = self.config
         videos = batch["videos"]
         b, f = videos.shape[0], videos.shape[1]
+        if "mels" not in batch:  # on-device mel from raw 16 kHz waveforms
+            from ..ops.mel import waveform_to_mel
+            batch = dict(batch,
+                         mels=jax.vmap(waveform_to_mel)(batch["waveforms"]))
         r_vae, r_t, r_noise, r_tdrop, r_adrop = jax.random.split(rng, 5)
 
         # 1. frozen encoders

@@ -1,0 +1,171 @@
+"""AVSyncD diffusion fine-tuning (reference scripts/animation_train.py).
+
+One YAML config drives the whole job (the reference's own
+configs/audio-cond_animation/*.yaml files parse unchanged).  The step —
+frozen encoders, UNet fwd/bwd over only the _temp/_audio parameters, masked
+AdamW update — is a single jit program over a (data, fsdp) mesh; gradient
+accumulation is a host-level micro-batch loop.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--fsdp", type=int, default=1,
+                   help="size of the fsdp mesh axis (1 = pure DP)")
+    p.add_argument("--max_steps_override", type=int, default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asva_tpu.config import AnimationJobConfig
+    from asva_tpu.data.datasets import AudioVideoDataset
+    from asva_tpu.data.loader import DataLoader
+    from asva_tpu.parallel import batch_sharding, fsdp_shardings, make_mesh
+    from asva_tpu.parallel.sharding import shard_pytree
+    from asva_tpu.runtime import (build_audio_encoder, build_unet, build_vae,
+                                  load_null_text_encoding)
+    from asva_tpu.training import (AnimationTrainConfig, AnimationTrainer,
+                                   TrainState, build_optimizer,
+                                   trainable_mask)
+    from asva_tpu.training.checkpoint import CheckpointManager
+    from asva_tpu.utils import AverageMeter, StepTimer, setup_logging
+
+    cfg = AnimationJobConfig.from_yaml(args.config_file)
+    max_steps = args.max_steps_override or cfg.optim.max_train_steps
+    log = setup_logging(os.path.join(cfg.output_dir, "train.log"))
+    log.info("config: %s", cfg)
+
+    mesh = make_mesh(fsdp=args.fsdp)
+    log.info("mesh: %s", dict(mesh.shape))
+
+    # models (UNet grafted from SD1.5 2D weights when present)
+    f = cfg.dataset.video_num_frame
+    unet, unet_params = build_unet(
+        cfg.unet, jnp.bfloat16,
+        weights_dir=(os.path.join(cfg.pretrained_unet_path, "unet")
+                     if cfg.pretrained_unet_path else None),
+        video_length=f)
+    vae, vae_params = build_vae(
+        jnp.bfloat16,
+        weights_dir=(os.path.join(cfg.pretrained_unet_path, "vae")
+                     if cfg.pretrained_unet_path else None))
+    audio_enc, audio_params = build_audio_encoder(cfg.n_segment, jnp.bfloat16)
+    null_text = load_null_text_encoding(cfg.null_text_encoding_path)
+    if null_text is None:
+        null_text = jnp.zeros((1, 77, 768))
+
+    trainer = AnimationTrainer(
+        unet=unet, vae=vae, audio_encoder=audio_enc,
+        vae_params=vae_params, audio_encoder_params=audio_params,
+        null_text_encoding=null_text, schedule=cfg.schedule,
+        config=AnimationTrainConfig(
+            text_cond_drop_prob=cfg.text_cond_drop_prob,
+            audio_cond_drop_prob=cfg.audio_cond_drop_prob,
+            loss_on_first_frame=cfg.loss_on_first_frame))
+
+    mask = trainable_mask(unet_params)
+    tx = build_optimizer(
+        cfg.optim.learning_rate, mask=mask,
+        max_grad_norm=cfg.optim.max_grad_norm,
+        adam_beta1=cfg.optim.adam_beta1, adam_beta2=cfg.optim.adam_beta2,
+        adam_eps=cfg.optim.adam_epsilon,
+        weight_decay=cfg.optim.adam_weight_decay,
+        warmup_steps=(cfg.optim.lr_warmup_steps
+                      if cfg.optim.lr_scheduler == "constant_with_warmup"
+                      else 0))
+
+    params = shard_pytree(unet_params,
+                          fsdp_shardings(unet_params, mesh))
+    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+
+    ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpts"),
+                             cfg.optim.checkpointing_steps,
+                             cfg.optim.checkpointing_milestones)
+    if cfg.optim.resume_from_checkpoint == "latest":
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            step0, state = restored
+            log.info("resumed from step %d", step0)
+
+    dataset = AudioVideoDataset(
+        cfg.dataset.example_list_path, cfg.dataset.data_root,
+        mode="train", video_fps=cfg.dataset.video_fps,
+        video_num_frame=cfg.dataset.video_num_frame,
+        img_size=tuple(cfg.dataset.img_size), randflip=cfg.dataset.randflip,
+        class_mapping_json=cfg.dataset.class_mapping_json,
+        class_text_encoding_mapping_path=
+        cfg.dataset.class_text_encoding_mapping_pt,
+        seed=cfg.seed)
+    # config batch_size is per-device (reference: per-GPU); the loader
+    # produces the global per-host batch
+    global_batch = cfg.batch_size * len(mesh.devices.flat)
+    loader = DataLoader(dataset, global_batch, shuffle=True,
+                        num_workers=8, seed=cfg.seed,
+                        shard=(jax.process_index(), jax.process_count()))
+
+    accum = cfg.optim.gradient_accumulation_steps
+    train_step = trainer.make_train_step(tx)
+    grad_step = trainer.make_grad_step()
+    apply_step = trainer.make_apply_step(tx)
+    add_grads = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
+    div_grads = jax.jit(lambda a: jax.tree.map(lambda x: x / accum, a))
+
+    rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
+    meter, timer = AverageMeter(window=cfg.log_steps), StepTimer()
+    bshard = batch_sharding(mesh)
+    step = int(state.step)
+    acc_grads, acc_count = None, 0
+
+    if len(loader) == 0:
+        raise ValueError("dataset smaller than the global batch "
+                         f"({len(loader.dataset)} examples)")
+
+    with jax.sharding.set_mesh(mesh):
+        while step < max_steps:
+            for batch in loader:
+                if step >= max_steps:
+                    break
+                rng, sub = jax.random.split(rng)
+                dev_batch = jax.device_put(
+                    {"videos": batch["video"],
+                     "waveforms": batch["waveform"],
+                     "text_encodings": batch["text_encoding"]}, bshard)
+                if accum <= 1:
+                    state, loss = train_step(state, dev_batch, sub)
+                    step = int(state.step)
+                else:
+                    loss, grads = grad_step(state.params, dev_batch, sub)
+                    acc_grads = grads if acc_grads is None else \
+                        add_grads(acc_grads, grads)
+                    acc_count += 1
+                    if acc_count == accum:
+                        state = apply_step(state, div_grads(acc_grads))
+                        acc_grads, acc_count = None, 0
+                        step = int(state.step)
+                    else:
+                        continue
+
+                meter.update(float(loss))
+                timer.tick()
+                if step % cfg.log_steps == 0:
+                    log.info("step %d loss %.4f %.2f steps/s", step,
+                             meter.avg, timer.steps_per_sec)
+                if ckpt.should_save(step):
+                    ckpt.save(step, jax.device_get(state))
+                    log.info("saved checkpoint-%d", step)
+
+    ckpt.save(step, jax.device_get(state), force=True)
+    log.info("done at step %d", step)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""AVSync classifier contrastive training (reference scripts/avsync_train.py).
+
+k=21 time-shifted clips per video, symmetric InfoNCE over the k x k pair
+score matrix, periodic in-train eval over the test loader, step/milestone
+checkpointing.  The reference's configs/avsync/vggss_sync_contrast.yaml
+parses unchanged.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--max_steps_override", type=int, default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asva_tpu.config import SyncJobConfig
+    from asva_tpu.data.loader import DataLoader
+    from asva_tpu.data.multipair import MultiPairAVDataset
+    from asva_tpu.models.avsync import AVSyncClassifier
+    from asva_tpu.ops.mel import waveform_to_mel
+    from asva_tpu.parallel import batch_sharding, make_mesh
+    from asva_tpu.training.checkpoint import CheckpointManager
+    from asva_tpu.training.optim import build_optimizer
+    from asva_tpu.training.sync_trainer import (SyncContrastiveTrainer,
+                                                SyncTrainState)
+    from asva_tpu.utils import AverageMeter, StepTimer, setup_logging
+
+    cfg = SyncJobConfig.from_yaml(args.config_file)
+    max_steps = args.max_steps_override or cfg.optim.max_train_steps
+    log = setup_logging(os.path.join(cfg.output_dir, "train.log"))
+
+    mesh = make_mesh(fsdp=1)
+    clf = AVSyncClassifier()
+    k = cfg.train_dataset.num_clips
+    f = cfg.train_dataset.video_num_frames
+    s = cfg.train_dataset.image_size
+    variables = clf.init(jax.random.PRNGKey(cfg.seed),
+                         jnp.zeros((1, 128, 204, 1)),
+                         jnp.zeros((1, f, s, s, 3)))
+
+    trainer = SyncContrastiveTrainer(clf, tau=cfg.tau)
+    tx = build_optimizer(
+        cfg.optim.learning_rate, max_grad_norm=cfg.optim.max_grad_norm,
+        weight_decay=cfg.optim.adam_weight_decay,
+        warmup_steps=(cfg.optim.lr_warmup_steps
+                      if cfg.optim.lr_scheduler == "constant_with_warmup"
+                      else 0))
+    state = SyncTrainState(jnp.zeros((), jnp.int32), variables["params"],
+                           variables["batch_stats"],
+                           tx.init(variables["params"]))
+
+    ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpts"),
+                             cfg.optim.checkpointing_steps,
+                             cfg.optim.checkpointing_milestones)
+    restored = ckpt.restore_latest(state)
+    if restored is not None:
+        step0, state = restored
+        log.info("resumed from step %d", step0)
+
+    mels_fn = jax.jit(jax.vmap(jax.vmap(waveform_to_mel)))
+
+    def make_ds(dcfg, mode):
+        return MultiPairAVDataset(
+            dcfg.example_list_path, dcfg.data_root, mode=mode,
+            image_size=dcfg.image_size, video_fps=dcfg.video_fps,
+            video_num_frames=dcfg.video_num_frames, randflip=dcfg.randflip,
+            shift_time=dcfg.shift_time, num_clips=dcfg.num_clips,
+            sampling_type=dcfg.sampling_type, seed=cfg.seed)
+
+    global_batch = cfg.batch_size * len(mesh.devices.flat)
+    train_loader = DataLoader(make_ds(cfg.train_dataset, "train"),
+                              global_batch, shuffle=True, num_workers=8,
+                              seed=cfg.seed,
+                              shard=(jax.process_index(),
+                                     jax.process_count()))
+    test_loader = DataLoader(make_ds(cfg.test_dataset, "test"),
+                             cfg.test_batch_size, shuffle=False,
+                             num_workers=8)
+
+    step_fn = trainer.make_train_step(tx)
+    bshard = batch_sharding(mesh)
+    meter = {k_: AverageMeter(window=cfg.log_steps)
+             for k_ in ("av_loss", "va_loss", "av_acc", "va_acc")}
+    timer = StepTimer()
+    step = int(state.step)
+
+    if len(train_loader) == 0:
+        raise ValueError("dataset smaller than the global batch "
+                         f"({len(train_loader.dataset)} examples)")
+
+    with jax.sharding.set_mesh(mesh):
+        while step < max_steps:
+            for batch in train_loader:
+                if step >= max_steps:
+                    break
+                mels = mels_fn(jnp.asarray(batch["waveforms"]))
+                dev = jax.device_put({"mels": mels,
+                                      "videos": batch["videos"]}, bshard)
+                state, metrics = step_fn(state, dev)
+                step = int(state.step)
+                for name in meter:
+                    meter[name].update(float(metrics[name]))
+                timer.tick()
+                if step % cfg.log_steps == 0:
+                    log.info("step %d av %.3f/%.2f va %.3f/%.2f %.2f it/s",
+                             step, meter["av_loss"].avg, meter["av_acc"].avg,
+                             meter["va_loss"].avg, meter["va_acc"].avg,
+                             timer.steps_per_sec)
+                if cfg.test_steps and step % cfg.test_steps == 0:
+                    evaluate(trainer, state, test_loader, mels_fn, log)
+                if ckpt.should_save(step):
+                    ckpt.save(step, jax.device_get(state))
+                    log.info("saved checkpoint-%d", step)
+    ckpt.save(step, jax.device_get(state), force=True)
+
+
+def evaluate(trainer, state, test_loader, mels_fn, log, max_batches=50):
+    import jax.numpy as jnp
+    import numpy as np
+    accs_av, accs_va = [], []
+    for i, batch in enumerate(test_loader):
+        if i >= max_batches:
+            break
+        mels = mels_fn(jnp.asarray(batch["waveforms"]))
+        _, (metrics, _) = trainer.loss_fn(state.params, state.batch_stats,
+                                          {"mels": mels,
+                                           "videos": jnp.asarray(
+                                               batch["videos"])})
+        accs_av.append(float(metrics["av_acc"]))
+        accs_va.append(float(metrics["va_acc"]))
+    if accs_av:
+        log.info("eval: av_acc %.4f va_acc %.4f",
+                 float(np.mean(accs_av)), float(np.mean(accs_va)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Integration smoke tests for the CLI scripts on synthetic data (tiny
+models, few steps, CPU)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from asva_tpu.data.media import media_available, write_video
+
+pytestmark = pytest.mark.skipif(not media_available(),
+                                reason="libasva_media.so not built")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=8",
+           PYTHONPATH=REPO)
+
+
+def _make_videos(root, n=3, frames=40, fps=12.0, hw=(64, 64), cls="dog"):
+    os.makedirs(os.path.join(root, cls), exist_ok=True)
+    rng = np.random.default_rng(0)
+    names = []
+    t = np.arange(int(frames / fps * 16000)) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)[None]
+    for i in range(n):
+        fr = (rng.random((frames, hw[0], hw[1], 3)) * 255).astype(np.uint8)
+        name = f"{cls}/v{i}.mp4"
+        write_video(os.path.join(root, name), fr, fps, audio, 16000)
+        names.append(name)
+    return names
+
+
+@pytest.fixture(scope="module")
+def train_fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    names = _make_videos(str(root), n=8)
+    (root / "train.txt").write_text("\n".join(names))
+    rng = np.random.default_rng(1)
+    np.savez(root / "enc.npz",
+             **{"a dog": rng.standard_normal((77, 768)).astype(np.float32)})
+    (root / "class_mapping.json").write_text(json.dumps({"dog": "a dog"}))
+    return root
+
+
+def test_animation_train_smoke(train_fixture, tmp_path):
+    root = train_fixture
+    cfg = f"""
+exp:
+  output_dir: "{tmp_path}/run"
+  seed: 1
+model:
+  scheduler: {{beta_start: 0.00085, beta_end: 0.012, prediction_type: epsilon}}
+  audio_encoder: {{n_segment: 4}}
+  unet:
+    down_block_types: [FFSpatioAudioTempCrossAttnDownBlock3D, FFSpatioTempResDownBlock3D]
+    up_block_types: [FFSpatioTempResUpBlock3D, FFSpatioAudioTempCrossAttnUpBlock3D]
+    mid_block_type: FFSpatioAudioTempCrossAttnUNetMidBlock3D
+    block_out_channels: [32, 64]
+    layers_per_block: 1
+    norm_num_groups: 8
+    attention_head_dim: 2
+  audio_cond_drop_prob: 0.2
+train:
+  batch_size: 1
+  log_steps: 1
+  dataset:
+    data_root: "{root}"
+    example_list_path: "{root}/train.txt"
+    img_size: [32, 32]
+    video_fps: 6
+    video_num_frame: 4
+    class_mapping_json: "{root}/class_mapping.json"
+    class_text_encoding_mapping_pt: "{root}/enc.npz"
+optim:
+  learning_rate: 1e-4
+  gradient_accumulation_steps: 2
+  checkpointing_steps: 2
+  checkpointing_milestones: 2
+"""
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(cfg)
+    # NOTE: the full-size ImageBind audio tower is built by the script; on
+    # CPU with tiny batch this still completes in reasonable time for 3 steps
+    out = subprocess.run(
+        [sys.executable, f"{REPO}/scripts/animation_train.py",
+         "--config_file", str(cfg_path), "--max_steps_override", "3"],
+        env=ENV, capture_output=True, text=True, timeout=1500)
+    assert out.returncode == 0, out.stderr[-3000:]
+    ckpts = os.listdir(f"{tmp_path}/run/ckpts")
+    assert any(c.startswith("checkpoint-") for c in ckpts), ckpts
+
+
+def test_avsync_train_smoke(train_fixture, tmp_path):
+    root = train_fixture
+    cfg = f"""
+exp:
+  output_dir: "{tmp_path}/sync"
+  seed: 1
+model:
+  tau: 0.1
+train:
+  batch_size: 1
+  log_steps: 1
+  dataset:
+    data_root: "{root}"
+    example_list_path: "{root}/train.txt"
+    image_size: 32
+    video_fps: 6
+    video_num_frames: 4
+    shift_time: 0.2
+    num_clips: 3
+    sampling_type: "random-compact"
+test:
+  batch_size: 1
+  test_steps: 0
+  dataset:
+    data_root: "{root}"
+    example_list_path: "{root}/train.txt"
+    image_size: 32
+    video_fps: 6
+    video_num_frames: 4
+    shift_time: 0.2
+    num_clips: 3
+    sampling_type: "uniform"
+optim:
+  learning_rate: 1e-4
+  checkpointing_steps: 2
+"""
+    cfg_path = tmp_path / "sync.yaml"
+    cfg_path.write_text(cfg)
+    out = subprocess.run(
+        [sys.executable, f"{REPO}/scripts/avsync_train.py",
+         "--config_file", str(cfg_path), "--max_steps_override", "2"],
+        env=ENV, capture_output=True, text=True, timeout=1500)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert os.path.isdir(f"{tmp_path}/sync/ckpts/checkpoint-2")
