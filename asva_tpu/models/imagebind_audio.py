@@ -82,6 +82,19 @@ def segment_masks(n_segment: int, patch_grid: Tuple[int, int]) -> np.ndarray:
     return np.concatenate([cls_col, full], axis=1)
 
 
+def segment_token_indices(n_segment: int,
+                          patch_grid: Tuple[int, int]) -> np.ndarray:
+    """(n_segment, m) STATIC token indices equivalent to `segment_masks`.
+
+    Every frame's mask selects the same count (CLS + chunk_cols * gh), so
+    the boolean mask is losslessly convertible to a dense per-frame gather —
+    the TPU-fast formulation of the masked audio cross-attention."""
+    masks = segment_masks(n_segment, patch_grid)
+    counts = masks.sum(axis=1)
+    assert (counts == counts[0]).all(), counts
+    return np.stack([np.nonzero(row)[0] for row in masks]).astype(np.int32)
+
+
 class TrunkBlock(nn.Module):
     """Pre-norm ViT block; fused qkv Dense in torch [q;k;v] layout."""
     embed_dim: int

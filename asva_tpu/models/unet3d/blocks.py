@@ -31,7 +31,8 @@ class DownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb, text_context=None, audio_context=None,
-                 audio_mask=None) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+                 audio_mask=None, audio_token_indices=None
+                 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         residuals = []
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
@@ -43,7 +44,8 @@ class DownBlock(nn.Module):
                     self.num_heads, head_dim, norm_num_groups=self.groups,
                     use_audio=self.use_audio, dtype=self.dtype,
                     name=f"attentions_{i}")(
-                    x, text_context, audio_context, audio_mask)
+                    x, text_context, audio_context, audio_mask,
+                    audio_token_indices)
             residuals.append(x)
         if self.add_downsample:
             x = FFDownsample(self.out_channels, dtype=self.dtype,
@@ -63,7 +65,7 @@ class MidBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb, text_context=None, audio_context=None,
-                 audio_mask=None) -> jnp.ndarray:
+                 audio_mask=None, audio_token_indices=None) -> jnp.ndarray:
         head_dim = self.channels // self.num_heads
         x = FFResnetBlock(self.channels, groups=self.groups, eps=self.eps,
                           dtype=self.dtype, name="resnets_0")(x, temb)
@@ -72,7 +74,8 @@ class MidBlock(nn.Module):
                 self.num_heads, head_dim, norm_num_groups=self.groups,
                 use_audio=self.use_audio, dtype=self.dtype,
                 name=f"attentions_{i}")(
-                x, text_context, audio_context, audio_mask)
+                x, text_context, audio_context, audio_mask,
+                audio_token_indices)
             x = FFResnetBlock(self.channels, groups=self.groups, eps=self.eps,
                               dtype=self.dtype, name=f"resnets_{i + 1}")(x, temb)
         return x
@@ -92,7 +95,7 @@ class UpBlock(nn.Module):
     @nn.compact
     def __call__(self, x, res_states: List[jnp.ndarray], temb,
                  text_context=None, audio_context=None,
-                 audio_mask=None) -> jnp.ndarray:
+                 audio_mask=None, audio_token_indices=None) -> jnp.ndarray:
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
             res = res_states.pop()
@@ -105,7 +108,8 @@ class UpBlock(nn.Module):
                     self.num_heads, head_dim, norm_num_groups=self.groups,
                     use_audio=self.use_audio, dtype=self.dtype,
                     name=f"attentions_{i}")(
-                    x, text_context, audio_context, audio_mask)
+                    x, text_context, audio_context, audio_mask,
+                    audio_token_indices)
         if self.add_upsample:
             x = FFUpsample(self.out_channels, dtype=self.dtype,
                            name="upsample")(x)

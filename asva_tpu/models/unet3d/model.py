@@ -78,6 +78,7 @@ class AudioUNet3D(nn.Module):
         text_context: Optional[jnp.ndarray],    # (b, 77, 768) or (b,f,77,768)
         audio_context: Optional[jnp.ndarray] = None,  # (b, 229, 768)
         audio_mask: Optional[jnp.ndarray] = None,     # (b, f, 229) bool
+        audio_token_indices: Optional[jnp.ndarray] = None,  # (f, m) int
     ) -> jnp.ndarray:
         cfg = self.config
         b, f = sample.shape[0], sample.shape[1]
@@ -119,7 +120,7 @@ class AudioUNet3D(nn.Module):
                 num_heads=num_heads, dtype=self.dtype,
                 name=f"down_blocks_{i}")
             x, residuals = block(x, emb, text_context, audio_context,
-                                 audio_mask)
+                                 audio_mask, audio_token_indices)
             res_stack.extend(residuals)
 
         # 4. mid
@@ -127,7 +128,8 @@ class AudioUNet3D(nn.Module):
             channels=cfg.block_out_channels[-1], groups=cfg.norm_num_groups,
             eps=cfg.norm_eps, use_audio=cfg.mid_block_type == MID_AUDIO,
             num_heads=num_heads, dtype=self.dtype, name="mid_block")(
-            x, emb, text_context, audio_context, audio_mask)
+            x, emb, text_context, audio_context, audio_mask,
+            audio_token_indices)
 
         # 5. up path
         rev_channels = list(reversed(cfg.block_out_channels))
@@ -145,7 +147,8 @@ class AudioUNet3D(nn.Module):
                 use_audio=btype == UP_AUDIO,
                 num_heads=num_heads, dtype=self.dtype,
                 name=f"up_blocks_{i}")
-            x = block(x, skips, emb, text_context, audio_context, audio_mask)
+            x = block(x, skips, emb, text_context, audio_context,
+                      audio_mask, audio_token_indices)
 
         # 6. out
         from ...ops.norms import VideoGroupNorm  # local import to avoid cycle

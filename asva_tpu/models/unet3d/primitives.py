@@ -129,26 +129,42 @@ class FFSpatialAttention(nn.Module):
 class CrossAttention(nn.Module):
     """Cross attention; context may have fewer leading axes than x (it is
     broadcast), and an optional boolean mask (True = attend) may be given
-    per (batch, frame) against context tokens."""
+    per (batch, frame) against context tokens.
+
+    Fast path: `context_indices` — a STATIC (f, m) integer array selecting,
+    per frame, the context tokens that frame may attend (the AVSyncD audio
+    segment masks select exactly 25 of 229 tokens per frame).  K/V are
+    projected once over all tokens and gathered per frame, so the attention
+    runs dense over m tokens with no mask and no (n x n_ctx) logits — a
+    large HBM-traffic win on TPU.  Requires every frame to select the same
+    number of tokens (true for the reference's `_auto_split` masks)."""
     num_heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 mask: Optional[jnp.ndarray] = None,
+                 context_indices=None) -> jnp.ndarray:
         inner = self.num_heads * self.head_dim
         proj = MultiHeadProjections(inner, self.num_heads, dtype=self.dtype,
                                     name="proj")
         q = proj.split(proj.to_q(x))        # (b, f, n, H, D)
         k = proj.split(proj.to_k(context))  # (b, [f,] m, H, D)
         v = proj.split(proj.to_v(context))
-        while k.ndim < q.ndim:              # broadcast context over frames
-            k = k[:, None]
-            v = v[:, None]
-        if mask is not None:
-            # mask: (b, f, m) -> (b, f, 1(H), 1(n), m)
-            mask = mask[:, :, None, None, :]
+        if context_indices is not None and k.ndim == q.ndim - 1:
+            # static gather: (b, n_ctx, H, D) -> (b, f, m, H, D)
+            idx = jnp.asarray(context_indices)
+            k = jnp.take(k, idx, axis=1)
+            v = jnp.take(v, idx, axis=1)
+            mask = None
+        else:
+            while k.ndim < q.ndim:          # broadcast context over frames
+                k = k[:, None]
+                v = v[:, None]
+            if mask is not None:
+                # mask: (b, f, m) -> (b, f, 1(H), 1(n), m)
+                mask = mask[:, :, None, None, :]
         out = dot_product_attention(q, k, v, mask=mask)
         return proj.to_out(proj.merge(out))
 

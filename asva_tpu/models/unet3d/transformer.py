@@ -60,6 +60,7 @@ class SpatioAudioTempTransformerBlock(nn.Module):
         text_context: Optional[jnp.ndarray],  # (b, m, d) or (b, f, m, d)
         audio_context: Optional[jnp.ndarray] = None,  # (b, ma, da) / (b,f,ma,da)
         audio_mask: Optional[jnp.ndarray] = None,     # (b, f, ma) bool
+        audio_token_indices=None,             # STATIC (f, m) int, fast path
     ) -> jnp.ndarray:
         f = x.shape[1]
 
@@ -73,7 +74,8 @@ class SpatioAudioTempTransformerBlock(nn.Module):
             h = AdaptiveOrLayerNorm(name="norm_audio")(x)
             x = x + CrossAttention(self.num_heads, self.head_dim,
                                    dtype=self.dtype, name="attn_audio")(
-                h, audio_context, mask=audio_mask)
+                h, audio_context, mask=audio_mask,
+                context_indices=audio_token_indices)
 
         # 3. text cross-attention
         if text_context is not None:
@@ -120,6 +122,7 @@ class SpatioAudioTempTransformer3D(nn.Module):
         text_context: Optional[jnp.ndarray],
         audio_context: Optional[jnp.ndarray] = None,
         audio_mask: Optional[jnp.ndarray] = None,
+        audio_token_indices=None,
     ) -> jnp.ndarray:
         b, f, hh, ww, c = x.shape
         inner = self.num_heads * self.head_dim
@@ -131,7 +134,8 @@ class SpatioAudioTempTransformer3D(nn.Module):
             h = SpatioAudioTempTransformerBlock(
                 inner, self.num_heads, self.head_dim, use_audio=self.use_audio,
                 dtype=self.dtype, name=f"blocks_{i}")(
-                h, text_context, audio_context, audio_mask)
+                h, text_context, audio_context, audio_mask,
+                audio_token_indices)
         h = h.reshape(b, f, hh, ww, inner)
         h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
         return h + residual

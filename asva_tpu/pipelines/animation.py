@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..diffusion.samplers import (ddim_plan, init_state, plan_row_arrays,
                                   plms_plan, sampler_step)
 from ..diffusion.schedules import DiffusionSchedule
+from ..models.imagebind_audio import segment_token_indices
 from ..ops.mel import waveform_to_mel
 
 
@@ -80,7 +81,7 @@ class AnimationPipeline:
         sl = slice(1, None)  # frame-0 pinned
 
         def program(latents, text_ctx, null_text_ctx, audio_ctx,
-                    null_audio_ctx, audio_masks):
+                    null_audio_ctx, audio_token_indices):
             b = latents.shape[0]
 
             def rep(x):
@@ -92,21 +93,17 @@ class AnimationPipeline:
                     [rep(null_text_ctx), text_ctx, text_ctx])
                 audio_stack = jnp.concatenate(
                     [rep(null_audio_ctx), rep(null_audio_ctx), audio_ctx])
-                mask_stack = jnp.concatenate([audio_masks] * 3)
                 k = 3
             elif do_text:
                 text_stack = jnp.concatenate([rep(null_text_ctx), text_ctx])
                 audio_stack = jnp.concatenate([audio_ctx, audio_ctx])
-                mask_stack = jnp.concatenate([audio_masks] * 2)
                 k = 2
             elif do_audio:
                 text_stack = jnp.concatenate([text_ctx, text_ctx])
                 audio_stack = jnp.concatenate([rep(null_audio_ctx), audio_ctx])
-                mask_stack = jnp.concatenate([audio_masks] * 2)
                 k = 2
             else:
-                text_stack, audio_stack, mask_stack, k = (
-                    text_ctx, audio_ctx, audio_masks, 1)
+                text_stack, audio_stack, k = text_ctx, audio_ctx, 1
 
             state = init_state(plan, latents, step_slice=sl)
 
@@ -114,7 +111,7 @@ class AnimationPipeline:
                 x = jnp.concatenate([state.latents] * k)
                 t = jnp.broadcast_to(row["t_model"], (k * b,))
                 eps = self.unet.apply(self.unet_params, x, t, text_stack,
-                                      audio_stack, mask_stack)
+                                      audio_stack, None, audio_token_indices)
                 if do_text and do_audio:
                     e_u, e_t, e_ta = jnp.split(eps, 3)
                     eps = e_u + text_gs * (e_t - e_u) + audio_gs * (e_ta - e_t)
@@ -172,6 +169,10 @@ class AnimationPipeline:
             raise ValueError(
                 f"audio encoder n_segment={audio_masks.shape[1]} must equal "
                 f"video_length={video_length}")
+        # static per-frame token gather == the boolean segment masks, but
+        # with no (n x 229) logits: each frame attends exactly its 25 tokens
+        token_idx = jnp.asarray(segment_token_indices(
+            video_length, self.audio_encoder.config.patch_grid))
         null_text = (self.null_text_encoding
                      if self.null_text_encoding is not None
                      else jnp.zeros_like(text_encodings[:1]))
@@ -180,7 +181,7 @@ class AnimationPipeline:
             num_inference_steps, sampler,
             float(text_guidance_scale), float(audio_guidance_scale))
         latents = program(latents, text_encodings, null_text, audio_ctx,
-                          null_audio_ctx, audio_masks)
+                          null_audio_ctx, token_idx)
         if not decode:
             return latents
         return self.decode_latents(latents)

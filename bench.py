@@ -72,19 +72,21 @@ def main():
     rows = plan_row_arrays(plan)
     sl = slice(1, None)
 
+    from asva_tpu.models.imagebind_audio import segment_token_indices
+    token_idx = jnp.asarray(segment_token_indices(F, (12, 19)))
+
     def generate(unet_params, vae_params, latents, text_ctx, audio_ctx,
                  null_audio_ctx, masks):
         b = latents.shape[0]
         text_stack = jnp.concatenate([text_ctx, text_ctx])
         audio_stack = jnp.concatenate([null_audio_ctx, audio_ctx])
-        mask_stack = jnp.concatenate([masks, masks])
         state = init_state(plan, latents, step_slice=sl)
 
         def body(state, row):
             x = jnp.concatenate([state.latents] * 2)
             t = jnp.broadcast_to(row["t_model"], (2 * b,))
             eps = unet.apply(unet_params, x, t, text_stack, audio_stack,
-                             mask_stack)
+                             None, token_idx)
             e_t, e_ta = jnp.split(eps, 2)
             eps = e_t + AG * (e_ta - e_t)
             return sampler_step("ddim", row, state, eps[:, sl],
