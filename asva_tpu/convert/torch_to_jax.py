@@ -81,13 +81,16 @@ def convert_state_dict(fresh_params, torch_state: Dict[str, np.ndarray],
 
     def visit(path, leaf):
         segs = tuple(getattr(k, "key", str(k)) for k in path)
-        key = key_fn(segs)
-        if key is not None and key in torch_state:
-            adapted = _adapt(torch_state[key], leaf.shape)
-            if adapted is not None:
-                used.add(key)
-                converted.append(".".join(segs))
-                return jax.numpy.asarray(adapted, dtype=leaf.dtype)
+        keys = key_fn(segs)
+        if isinstance(keys, str) or keys is None:
+            keys = [keys] if keys else []
+        for key in keys:  # first matching candidate wins
+            if key in torch_state:
+                adapted = _adapt(torch_state[key], leaf.shape)
+                if adapted is not None:
+                    used.add(key)
+                    converted.append(".".join(segs))
+                    return jax.numpy.asarray(adapted, dtype=leaf.dtype)
         fresh_kept.append(".".join(segs))
         return leaf
 
@@ -259,6 +262,30 @@ def imagebind_audio_key_map(segs: tuple) -> Optional[str]:
     if head0 == "final_layer_norm":
         return f"final_layer_norm.{leaf}"
     return None
+
+
+def i3d_key_map(segs: tuple):
+    """Our InceptionI3D path -> candidate keys of the public pytorch-i3d /
+    stylegan-v torchscript state dicts (branch names b0/b1a/b1b/b2a/b2b/b3b,
+    Unit3D children conv3d + bn)."""
+    segs = [s for s in segs if s not in ("params", "batch_stats")]
+    leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                "mean": "running_mean", "var": "running_var"}
+    leaf = leaf_map.get(segs[-1], segs[-1])
+    body = ".".join(segs[:-1])
+    return [f"{body}.{leaf}",
+            f"{body.replace('.bn', '.batch3d')}.{leaf}",
+            f"{body.replace('.b3b', '.b3.1').replace('.b1a', '.b1.0').replace('.b1b', '.b1.1').replace('.b2a', '.b2.0').replace('.b2b', '.b2.1')}.{leaf}"]
+
+
+def inception_v3_key_map(segs: tuple) -> Optional[str]:
+    """Our InceptionV3FID path -> pytorch-fid / torchvision inception keys
+    (BasicConv2d children conv + bn)."""
+    segs = [s for s in segs if s not in ("params", "batch_stats")]
+    leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                "mean": "running_mean", "var": "running_var"}
+    leaf = leaf_map.get(segs[-1], segs[-1])
+    return ".".join(segs[:-1] + [leaf])
 
 
 def avsync_key_map(segs: tuple) -> Optional[str]:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -107,7 +108,10 @@ class FFSpatialAttention(nn.Module):
     """Spatial self-attention with K/V from frame 0 only.
 
     Input: (b, f, n, c) spatial tokens per frame.  K/V are projected from
-    frame 0 and broadcast across the frame axis of the queries.
+    frame 0 and shared across all frames' queries.  On TPU, large shapes run
+    the VMEM-resident Pallas kernel (ops/pallas_attn.py) — all 12 frames'
+    queries attend the SAME frame-0 K/V, so the kernel holds K/V on-chip and
+    the (f*n x n) fp32 logits never touch HBM.
     """
     num_heads: int
     head_dim: int
@@ -118,11 +122,23 @@ class FFSpatialAttention(nn.Module):
         inner = self.num_heads * self.head_dim
         proj = MultiHeadProjections(inner, self.num_heads, dtype=self.dtype,
                                     name="proj")
+        b, f, n, _ = x.shape
         q = proj.split(proj.to_q(x))                   # (b, f, n, H, D)
         first = x[:, 0:1]                              # (b, 1, n, c)
         k = proj.split(proj.to_k(first))               # (b, 1, n, H, D)
         v = proj.split(proj.to_v(first))
-        out = dot_product_attention(q, k, v)
+
+        from ...ops import pallas_attn
+        h, d = self.num_heads, self.head_dim
+        if (jax.default_backend() == "tpu"
+                and pallas_attn.supports(f * n, n, d, x.dtype)):
+            qf = q.transpose(0, 3, 1, 2, 4).reshape(b * h, f * n, d)
+            kf = k[:, 0].transpose(0, 2, 1, 3).reshape(b * h, n, d)
+            vf = v[:, 0].transpose(0, 2, 1, 3).reshape(b * h, n, d)
+            of = pallas_attn.vmem_attention(qf, kf, vf)
+            out = of.reshape(b, h, f, n, d).transpose(0, 2, 3, 1, 4)
+        else:
+            out = dot_product_attention(q, k, v)
         return proj.to_out(proj.merge(out))
 
 

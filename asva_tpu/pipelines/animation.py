@@ -43,6 +43,16 @@ class AnimationPipeline:
     audio_encoder_params: dict
     schedule: DiffusionSchedule = DiffusionSchedule()
     null_text_encoding: Optional[jnp.ndarray] = None  # (1, 77, 768)
+    mesh: Optional[object] = None  # jax.sharding.Mesh for multi-chip batches
+
+    def _shard_batch(self, tree):
+        """Shard leading (batch) axes over the mesh's data axis; params stay
+        replicated — generation scales clips/sec linearly with chips."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
     # ---------------- conditioning ----------------
 
@@ -158,6 +168,8 @@ class AnimationPipeline:
         rng = jax.random.PRNGKey(0) if rng is None else rng
         rng_vae, rng_noise = jax.random.split(rng)
 
+        images, audio_mels, text_encodings = self._shard_batch(
+            (images, audio_mels, text_encodings))
         image_latents = self.encode_image(images, rng_vae)  # (b, hh, ww, 4)
         b, hh, ww, c = image_latents.shape
         noise = jax.random.normal(

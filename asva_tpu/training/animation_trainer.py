@@ -78,6 +78,12 @@ class AnimationTrainer:
             self.audio_encoder_params, jnp.zeros_like(batch["mels"]))
         audio_enc = jax.lax.stop_gradient(audio_enc)
         null_audio_enc = jax.lax.stop_gradient(null_audio_enc)
+        # static per-frame token gather (equivalent to the boolean masks but
+        # with no (n x n_ctx) logits; see CrossAttention.context_indices)
+        from ..models.imagebind_audio import segment_token_indices
+        token_idx = jnp.asarray(segment_token_indices(
+            self.audio_encoder.n_segment,
+            self.audio_encoder.config.patch_grid))
 
         # 2. per-sample condition dropout
         text_keep = (jax.random.uniform(r_tdrop, (b, 1, 1))
@@ -104,7 +110,7 @@ class AnimationTrainer:
             raise ValueError(cfg.prediction_type)
 
         pred = self.unet.apply(unet_params, noisy, t, text_enc, audio_enc,
-                               audio_masks)
+                               None, token_idx)
 
         if cfg.loss_on_first_frame:
             err = pred.astype(jnp.float32) - target.astype(jnp.float32)

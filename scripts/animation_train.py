@@ -20,6 +20,8 @@ def main():
     p.add_argument("--fsdp", type=int, default=1,
                    help="size of the fsdp mesh axis (1 = pure DP)")
     p.add_argument("--max_steps_override", type=int, default=None)
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of steps 10-15 here")
     args = p.parse_args()
 
     import jax
@@ -36,6 +38,8 @@ def main():
     from asva_tpu.training import (AnimationTrainConfig, AnimationTrainer,
                                    TrainState, build_optimizer,
                                    trainable_mask)
+    from asva_tpu.observability import (GracefulShutdown, MetricsLogger,
+                                        profile_steps)
     from asva_tpu.training.checkpoint import CheckpointManager
     from asva_tpu.utils import AverageMeter, StepTimer, setup_logging
 
@@ -121,6 +125,8 @@ def main():
 
     rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
     meter, timer = AverageMeter(window=cfg.log_steps), StepTimer()
+    metrics = MetricsLogger(os.path.join(cfg.output_dir, "metrics.jsonl"))
+    shutdown = GracefulShutdown()
     bshard = batch_sharding(mesh)
     step = int(state.step)
     acc_grads, acc_count = None, 0
@@ -159,9 +165,20 @@ def main():
                 if step % cfg.log_steps == 0:
                     log.info("step %d loss %.4f %.2f steps/s", step,
                              meter.avg, timer.steps_per_sec)
+                    metrics.log(step, loss=meter.avg,
+                                steps_per_sec=timer.steps_per_sec)
+                if args.profile_dir and step == 10:
+                    prof = profile_steps(args.profile_dir)
+                    prof.__enter__()
+                if args.profile_dir and step == 15:
+                    prof.__exit__(None, None, None)
                 if ckpt.should_save(step):
                     ckpt.save(step, jax.device_get(state))
                     log.info("saved checkpoint-%d", step)
+                if shutdown.requested:
+                    log.info("shutdown requested: checkpointing at %d", step)
+                    ckpt.save(step, jax.device_get(state), force=True)
+                    return
 
     ckpt.save(step, jax.device_get(state), force=True)
     log.info("done at step %d", step)
