@@ -90,11 +90,16 @@ class CLIPTextModel(nn.Module):
         return AdaptiveOrLayerNorm(1e-5, name="final_ln")(x)
 
 
-def tokenize(texts, max_length: int = 77):
+def tokenize(texts, max_length: int = 77,
+             tokenizer_path: str = "pretrained/stable-diffusion-v1-5/tokenizer"):
     """CLIP BPE tokenization via transformers' tokenizer (host-side, slow
-    path only; all dataset flows use precomputed encodings)."""
+    path only; all dataset flows use precomputed encodings).
+
+    tokenizer_path should hold the SD1.5 tokenizer files (vocab.json +
+    merges.txt) — the reference's checkpoint layout — so this works offline.
+    """
     from transformers import CLIPTokenizer
-    tok = CLIPTokenizer.from_pretrained("openai/clip-vit-large-patch14")
+    tok = CLIPTokenizer.from_pretrained(tokenizer_path)
     out = tok(texts, padding="max_length", max_length=max_length,
               truncation=True, return_tensors="np")
     return jnp.asarray(out["input_ids"])

@@ -174,13 +174,30 @@ class CrossAttention(nn.Module):
             k = jnp.take(k, idx, axis=1)
             v = jnp.take(v, idx, axis=1)
             mask = None
-        else:
-            while k.ndim < q.ndim:          # broadcast context over frames
-                k = k[:, None]
-                v = v[:, None]
-            if mask is not None:
-                # mask: (b, f, m) -> (b, f, 1(H), 1(n), m)
-                mask = mask[:, :, None, None, :]
+        elif (mask is None and k.ndim == q.ndim - 1 and q.ndim == 5
+              and jax.default_backend() == "tpu"):
+            # unmasked broadcast context (the text path): VMEM kernel with
+            # the short KV zero-padded to a lane multiple
+            from ...ops import pallas_attn
+            b, f, n, h, d = q.shape
+            m = k.shape[1]
+            m_pad = -(-m // 128) * 128
+            if pallas_attn.supports(f * n, m_pad, d, x.dtype):
+                qf = q.transpose(0, 3, 1, 2, 4).reshape(b * h, f * n, d)
+                kf = k.transpose(0, 2, 1, 3).reshape(b * h, m, d)
+                vf = v.transpose(0, 2, 1, 3).reshape(b * h, m, d)
+                pad = [(0, 0), (0, m_pad - m), (0, 0)]
+                kf = jnp.pad(kf, pad)
+                vf = jnp.pad(vf, pad)
+                of = pallas_attn.vmem_cross_attention(qf, kf, vf, m)
+                out = of.reshape(b, h, f, n, d).transpose(0, 2, 3, 1, 4)
+                return proj.to_out(proj.merge(out))
+        while k.ndim < q.ndim:              # broadcast context over frames
+            k = k[:, None]
+            v = v[:, None]
+        if mask is not None:
+            # mask: (b, f, m) -> (b, f, 1(H), 1(n), m)
+            mask = mask[:, :, None, None, :]
         out = dot_product_attention(q, k, v, mask=mask)
         return proj.to_out(proj.merge(out))
 

@@ -22,6 +22,9 @@ def main():
     p.add_argument("--null_text_encoding_path",
                    default="pretrained/openai-clip-l_null_text_encoding.pt")
     p.add_argument("--category_text_encoding_path", default=None)
+    p.add_argument("--category", default=None,
+                   help="free-form class prompt; needs the SD1.5 tokenizer "
+                        "and text_encoder under --sd_root")
     p.add_argument("--image_size", type=int, nargs=2, default=[256, 256])
     p.add_argument("--video_fps", type=int, default=6)
     p.add_argument("--video_num_frame", type=int, default=12)
@@ -50,6 +53,14 @@ def main():
         from asva_tpu.runtime import load_null_text_encoding
         enc = np.asarray(load_null_text_encoding(
             args.category_text_encoding_path))
+    elif args.category:
+        from asva_tpu.models.clip_text import tokenize
+        from asva_tpu.runtime import build_text_encoder
+        text_model, text_params = build_text_encoder(
+            weights_dir=os.path.join(args.sd_root, "text_encoder"))
+        ids = tokenize([args.category],
+                       tokenizer_path=os.path.join(args.sd_root, "tokenizer"))
+        enc = np.asarray(text_model.apply(text_params, ids))
 
     generate_videos(
         pipeline,

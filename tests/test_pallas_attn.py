@@ -52,5 +52,20 @@ def test_vjp_falls_back_to_einsum(rng):
 
 def test_supports_gate():
     assert supports(12 * 1024, 1024, 40, jnp.bfloat16)      # level 0
+    assert not supports(12 * 1024, 128, 40, jnp.bfloat16)   # short KV: XLA
     assert not supports(12 * 64, 64, 160, jnp.bfloat16)     # tiny: use XLA
     assert not supports(100, 100, 40, jnp.bfloat16)         # misaligned
+
+
+def test_cross_kernel_kv_mask_interpret(rng):
+    from asva_tpu.ops.pallas_attn import vmem_cross_attention
+    q = jnp.asarray(rng.standard_normal((2, 1024, 40)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 77, 40)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 77, 40)), jnp.float32)
+    kp = jnp.pad(k, ((0, 0), (0, 51), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 51), (0, 0)))
+    with pltpu.force_tpu_interpret_mode():
+        o1 = vmem_cross_attention(q, kp, vp, 77)
+    o2 = _einsum_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5,
+                               rtol=1e-5)
