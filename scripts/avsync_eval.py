@@ -23,6 +23,10 @@ def main():
     p.add_argument("--video_fps", type=int, default=6)
     p.add_argument("--video_num_frames", type=int, default=12)
     p.add_argument("--max_examples", type=int, default=None)
+    p.add_argument("--shard", type=int, nargs=2, default=(0, 1),
+                   metavar=("INDEX", "COUNT"),
+                   help="evaluate examples[INDEX::COUNT] (multi-host eval "
+                        "sharding; aggregate the printed counts offline)")
     args = p.parse_args()
 
     import jax
@@ -63,7 +67,7 @@ def main():
     center = args.num_clips // 2
     a2v_hits, v2a_hits, seen = [], [], set()
     n = min(len(ds), args.max_examples or len(ds))
-    for i in range(n):
+    for i in range(args.shard[0], n, args.shard[1]):
         item = ds[i]
         if item["index"] in seen:  # decode-failure fallback dedup
             continue
