@@ -44,11 +44,19 @@ def load_torch_state(path: str) -> Dict[str, np.ndarray]:
             for k, v in state.items()}
 
 
-def _adapt(value: np.ndarray, target_shape) -> Optional[np.ndarray]:
-    """Re-layout a torch tensor to the flax parameter shape, or None."""
+def _adapt(value: np.ndarray, target_shape,
+           leaf: str = "") -> Optional[np.ndarray]:
+    """Re-layout a torch tensor to the flax parameter shape, or None.
+
+    `leaf` is the flax parameter name: weight-like leaves ('kernel',
+    'temp_kernel') are ALWAYS re-laid-out (square Linear kernels would
+    otherwise pass the shape check untransposed); everything else
+    (embeddings, norms, cls/pos tables) passes through by shape.
+    """
     v = value
     ts = tuple(target_shape)
-    if v.shape == ts:
+    weight_like = leaf in ("kernel", "temp_kernel")
+    if not weight_like and v.shape == ts:
         return v
     if v.ndim == 4 and len(ts) == 4:          # conv2d
         v2 = v.transpose(2, 3, 1, 0)
@@ -66,6 +74,8 @@ def _adapt(value: np.ndarray, target_shape) -> Optional[np.ndarray]:
         return v if v.shape == ts else None
     if v.ndim == 2 and len(ts) == 1 and v.shape[0] == 1:
         return v[0] if v[0].shape == ts else None
+    if weight_like and v.shape == ts:
+        return v
     return None
 
 
@@ -86,7 +96,8 @@ def convert_state_dict(fresh_params, torch_state: Dict[str, np.ndarray],
             keys = [keys] if keys else []
         for key in keys:  # first matching candidate wins
             if key in torch_state:
-                adapted = _adapt(torch_state[key], leaf.shape)
+                adapted = _adapt(torch_state[key], leaf.shape,
+                                 leaf=str(segs[-1]))
                 if adapted is not None:
                     used.add(key)
                     converted.append(".".join(segs))
@@ -126,6 +137,8 @@ def unet_key_map(segs: tuple) -> Optional[str]:
             out.append("upsamplers.0")
         elif s == "proj":        # MultiHeadProjections wrapper — transparent
             pass
+        elif s == "proj_to_out":          # temporal attention out (ModuleList)
+            out.append("to_out.0")
         elif s.startswith("proj_to_"):   # temporal attention projections
             out.append(s.replace("proj_", ""))
         elif s == "to_out":
