@@ -89,6 +89,8 @@ class AnimationJobConfig:
     optim: OptimConfig = OptimConfig()
     pretrained_unet_path: Optional[str] = None
     null_text_encoding_path: Optional[str] = None
+    train_image_modules: bool = False  # unfreeze the grafted SD weights too
+    trainable_modules: tuple = ("temp", "audio")
 
     @classmethod
     def from_yaml(cls, path: str) -> "AnimationJobConfig":
@@ -131,6 +133,10 @@ class AnimationJobConfig:
             dataset=ds,
             optim=optim,
             pretrained_unet_path=unet_d.get("pretrained_model_name_or_path"),
+            train_image_modules=unet_d.get("train_image_modules", False),
+            trainable_modules=tuple(
+                m.strip("_") for m in unet_d.get("trainable_modules",
+                                                 ["_temp", "_audio"])),
         )
 
 

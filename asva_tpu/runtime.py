@@ -44,7 +44,10 @@ def _find_weights(dirpath: str):
 
 
 def _init_params(model, *example_args, seed: int = 0):
-    return model.init(jax.random.PRNGKey(seed), *example_args)
+    # jit the whole init: one compiled program instead of thousands of
+    # individually dispatched init ops (critical on remote-tunnel devices)
+    return jax.jit(lambda: model.init(jax.random.PRNGKey(seed),
+                                      *example_args))()
 
 
 def _maybe_convert(params, weights_dir: Optional[str], key_map, label: str):

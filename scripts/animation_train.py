@@ -28,6 +28,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from asva_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     from asva_tpu.config import AnimationJobConfig
     from asva_tpu.data.datasets import AudioVideoDataset
     from asva_tpu.data.loader import DataLoader
@@ -76,7 +79,8 @@ def main():
             audio_cond_drop_prob=cfg.audio_cond_drop_prob,
             loss_on_first_frame=cfg.loss_on_first_frame))
 
-    mask = trainable_mask(unet_params)
+    patterns = None if cfg.train_image_modules else cfg.trainable_modules
+    mask = trainable_mask(unet_params, patterns=patterns)
     tx = build_optimizer(
         cfg.optim.learning_rate, mask=mask,
         max_grad_norm=cfg.optim.max_grad_norm,

@@ -22,6 +22,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from asva_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     from asva_tpu.config import SyncJobConfig
     from asva_tpu.data.loader import DataLoader
     from asva_tpu.data.multipair import MultiPairAVDataset
