@@ -50,8 +50,24 @@ def _init_params(model, *example_args, seed: int = 0):
                                       *example_args))()
 
 
+def _is_orbax_dir(d: str) -> bool:
+    if not os.path.isdir(d):
+        return False
+    names = set(os.listdir(d))
+    return bool(names & {"_METADATA", "manifest.ocdbt", "_CHECKPOINT_METADATA",
+                         "d", "ocdbt.process_0"})
+
+
 def _maybe_convert(params, weights_dir: Optional[str], key_map, label: str):
+    """Load parameters from either a torch export (converted) or one of our
+    own orbax module exports (checkpoint-N/modules/<name>)."""
     if not weights_dir:
+        return params
+    if _is_orbax_dir(weights_dir):
+        import orbax.checkpoint as ocp
+        params = ocp.StandardCheckpointer().restore(weights_dir,
+                                                    target=params)
+        log.info("%s: restored orbax module from %s", label, weights_dir)
         return params
     path = _find_weights(weights_dir) if os.path.isdir(weights_dir) \
         else (weights_dir if os.path.isfile(weights_dir) else None)
@@ -111,9 +127,20 @@ def build_avsync_classifier(weights_dirs: Optional[dict] = None,
     """weights_dirs: {'audio_encoder': dir, 'video_encoder': dir,
     'head': dir} (the reference's per-module exports)."""
     model = AVSyncClassifier(dtype=dtype)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 128, 204, 1)),
-                           jnp.zeros((1, 12, 224, 224, 3)))
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 204, 1)),
+        jnp.zeros((1, 12, 224, 224, 3))))()
+    if isinstance(weights_dirs, str):
+        # our own orbax classifier export (checkpoint-N/modules/classifier)
+        if _is_orbax_dir(weights_dirs):
+            import orbax.checkpoint as ocp
+            variables = ocp.StandardCheckpointer().restore(
+                weights_dirs, target=dict(variables))
+            log.info("avsync: restored orbax classifier from %s",
+                     weights_dirs)
+            return model, variables
+        weights_dirs = {m: os.path.join(weights_dirs, m)
+                        for m in ("audio_encoder", "video_encoder", "head")}
     if weights_dirs:
         merged = {}
         for mod, d in weights_dirs.items():

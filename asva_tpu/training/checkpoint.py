@@ -55,7 +55,11 @@ class CheckpointManager:
     def should_save(self, step: int) -> bool:
         return step > 0 and step % self.checkpointing_steps == 0
 
-    def save(self, step: int, state: Any, force: bool = False) -> bool:
+    def save(self, step: int, state: Any, force: bool = False,
+             modules: Optional[dict] = None) -> bool:
+        """Save the full train state; `modules` optionally adds per-module
+        parameter exports under checkpoint-N/modules/<name> (the reference's
+        dual-format policy: exact-resume state + inference module exports)."""
         if not force and not self.should_save(step):
             return False
         prev = self._last_saved
@@ -64,6 +68,10 @@ class CheckpointManager:
             prev = existing[-1] if existing else None
         self._ckpt.save(os.path.join(self._path(step), "state"), state,
                         force=True)
+        for name, tree in (modules or {}).items():
+            self._ckpt.save(
+                os.path.join(self._path(step), "modules", name), tree,
+                force=True)
         self._ckpt.wait_until_finished()
         # retention: drop the previous checkpoint unless it is a milestone
         if prev is not None and prev != step and not self.is_milestone(prev):
@@ -80,6 +88,10 @@ class CheckpointManager:
         if step is None:
             return None
         return step, self.restore(step, target)
+
+    def restore_module(self, step: int, name: str, target: Any) -> Any:
+        return self._ckpt.restore(
+            os.path.join(self._path(step), "modules", name), target=target)
 
     def close(self):
         self._ckpt.wait_until_finished()

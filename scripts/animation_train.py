@@ -177,14 +177,18 @@ def main():
                 if args.profile_dir and step == 15:
                     prof.__exit__(None, None, None)
                 if ckpt.should_save(step):
-                    ckpt.save(step, jax.device_get(state))
+                    ckpt.save(step, jax.device_get(state),
+                              modules={"unet": jax.device_get(state.params),
+                                       "audio_encoder": audio_params})
                     log.info("saved checkpoint-%d", step)
                 if shutdown.requested:
                     log.info("shutdown requested: checkpointing at %d", step)
                     ckpt.save(step, jax.device_get(state), force=True)
                     return
 
-    ckpt.save(step, jax.device_get(state), force=True)
+    ckpt.save(step, jax.device_get(state), force=True,
+              modules={"unet": jax.device_get(state.params),
+                       "audio_encoder": audio_params})
     log.info("done at step %d", step)
 
 

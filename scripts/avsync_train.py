@@ -121,9 +121,15 @@ def main():
                 if cfg.test_steps and step % cfg.test_steps == 0:
                     evaluate(trainer, state, test_loader, mels_fn, log)
                 if ckpt.should_save(step):
-                    ckpt.save(step, jax.device_get(state))
+                    st = jax.device_get(state)
+                    ckpt.save(step, st, modules={
+                        "classifier": {"params": st.params,
+                                       "batch_stats": st.batch_stats}})
                     log.info("saved checkpoint-%d", step)
-    ckpt.save(step, jax.device_get(state), force=True)
+    st = jax.device_get(state)
+    ckpt.save(step, st, force=True, modules={
+        "classifier": {"params": st.params,
+                       "batch_stats": st.batch_stats}})
 
 
 def evaluate(trainer, state, test_loader, mels_fn, log, max_batches=50):
