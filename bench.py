@@ -16,11 +16,84 @@ reshapes) + 12-frame VAE decode ~0.45 s  =>  ~5.5 s/clip  =>  0.18 clips/s.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import sys
 import time
 
 import numpy as np
 
 ESTIMATED_A100_TORCH_CLIPS_PER_SEC = 0.18
+# reference training: 8x RTX-A4500 reach batch-64-effective at ~unpublished
+# speed; A100 estimate ~1.3 s/optimizer-step at per-gpu batch 4 fp16+ckpt
+ESTIMATED_A100_TORCH_TRAIN_STEPS_PER_SEC = 0.77
+
+
+def bench_train():
+    """Optional mode (`python bench.py --train`): full-size AVSyncD training
+    step (frozen encoders + UNet fwd/bwd over _temp/_audio + masked AdamW),
+    batch 4, bf16, remat — steps/sec on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _materialize
+    from asva_tpu.models.imagebind_audio import (ImageBindAudioConfig,
+                                                 SegmaskAudioEncoder)
+    from asva_tpu.models.unet3d import AudioUNet3D, UNet3DConfig
+    from asva_tpu.models.vae import AutoencoderKL, VAEConfig
+    from asva_tpu.training import (AnimationTrainer, TrainState,
+                                   build_optimizer, trainable_mask)
+
+    B, F = 4, 12
+    unet = AudioUNet3D(UNet3DConfig(remat=True), dtype=jnp.bfloat16)
+    vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
+    audio_enc = SegmaskAudioEncoder(ImageBindAudioConfig(), n_segment=F,
+                                    dtype=jnp.bfloat16)
+    unet_params = _materialize(jax.eval_shape(lambda: unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, F, 32, 32, 4), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768), jnp.bfloat16),
+        jnp.zeros((1, 229, 768), jnp.bfloat16),
+        jnp.ones((1, F, 229), bool))))
+    vae_params = _materialize(jax.eval_shape(lambda: vae.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3), jnp.bfloat16),
+        jax.random.PRNGKey(1))), seed=1)
+    audio_params = _materialize(jax.eval_shape(lambda: audio_enc.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 128, 204, 1), jnp.bfloat16))),
+        seed=2)
+
+    trainer = AnimationTrainer(
+        unet=unet, vae=vae, audio_encoder=audio_enc, vae_params=vae_params,
+        audio_encoder_params=audio_params,
+        null_text_encoding=jnp.zeros((1, 77, 768), jnp.bfloat16))
+    mask = trainable_mask(unet_params)
+    tx = build_optimizer(1e-4, mask=mask)
+    state = TrainState(jnp.zeros((), jnp.int32), unet_params,
+                       tx.init(unet_params))
+    step = trainer.make_train_step(tx, donate=False)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "videos": jnp.asarray(rng.random((B, F, 256, 256, 3)),
+                              dtype=jnp.float32),
+        "mels": jnp.asarray(rng.standard_normal((B, 128, 204, 1)),
+                            dtype=jnp.float32),
+        "text_encodings": jnp.asarray(rng.standard_normal((B, 77, 768)),
+                                      dtype=jnp.float32),
+    }
+    state, loss = step(state, batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    n = 5
+    for i in range(n):
+        state, loss = step(state, batch, jax.random.PRNGKey(i))
+    jax.block_until_ready(loss)
+    sps = n / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": f"AVSyncD train steps/sec/chip (batch {B}, 12x256^2, "
+                  "bf16+remat, masked AdamW)",
+        "value": round(sps, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(sps / ESTIMATED_A100_TORCH_TRAIN_STEPS_PER_SEC,
+                             3),
+    }))
 
 
 def main():
@@ -45,16 +118,9 @@ def main():
     rng = np.random.default_rng(0)
 
     def make_params(model, *args):
-        shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0),
-                                                   *args))
-        leaves, treedef = jax.tree.flatten(shapes)
-        key = jax.random.PRNGKey(0)
-        out = []
-        for i, l in enumerate(leaves):
-            out.append((jax.random.normal(jax.random.fold_in(key, i),
-                                          l.shape, jnp.float32)
-                        * 0.02).astype(l.dtype))
-        return jax.tree.unflatten(treedef, out)
+        from __graft_entry__ import _materialize
+        return _materialize(jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), *args)))
 
     sample = jnp.zeros((1, F, HW, HW, 4), dtype)
     t0 = jnp.zeros((1,), jnp.int32)
@@ -131,4 +197,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        bench_train()
+    else:
+        main()
