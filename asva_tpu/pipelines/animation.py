@@ -61,22 +61,32 @@ class AnimationPipeline:
         mels = [waveform_to_mel(jnp.asarray(w)) for w in waveforms]
         return jnp.stack(mels)
 
+    # NOTE: params are always jit ARGUMENTS (never closure constants) — a
+    # closure would embed gigabytes of weights into the compiled program
+    # payload (fatal on remote-compile backends) and force a retrace on any
+    # parameter update.
+
     @functools.partial(jax.jit, static_argnums=0)
+    def _encode_audio(self, audio_encoder_params, mels: jnp.ndarray):
+        _, enc, masks = self.audio_encoder.apply(audio_encoder_params, mels)
+        _, null_enc, _ = self.audio_encoder.apply(
+            audio_encoder_params, jnp.zeros_like(mels[:1]))
+        return enc, masks, null_enc
+
     def encode_audio(self, mels: jnp.ndarray):
         """mels (b, 128, 204, 1) -> (encodings (b,229,768), masks (b,s,229),
         null_encodings (1,229,768))."""
-        _, enc, masks = self.audio_encoder.apply(self.audio_encoder_params,
-                                                 mels)
-        _, null_enc, _ = self.audio_encoder.apply(
-            self.audio_encoder_params, jnp.zeros_like(mels[:1]))
-        return enc, masks, null_enc
+        return self._encode_audio(self.audio_encoder_params, mels)
 
     @functools.partial(jax.jit, static_argnums=0)
+    def _encode_image(self, vae_params, images: jnp.ndarray, rng: jax.Array):
+        images = images * 2.0 - 1.0
+        return self.vae.apply(vae_params, images, rng,
+                              method=self.vae.sample_latents)
+
     def encode_image(self, images: jnp.ndarray, rng: jax.Array):
         """images (b, h, w, 3) in [0,1] -> sampled scaled latents."""
-        images = images * 2.0 - 1.0
-        return self.vae.apply(self.vae_params, images, rng,
-                              method=self.vae.sample_latents)
+        return self._encode_image(self.vae_params, images, rng)
 
     # ---------------- denoise program ----------------
 
@@ -90,8 +100,8 @@ class AnimationPipeline:
         do_audio = audio_gs > 1.0
         sl = slice(1, None)  # frame-0 pinned
 
-        def program(latents, text_ctx, null_text_ctx, audio_ctx,
-                    null_audio_ctx, audio_token_indices):
+        def program(unet_params, latents, text_ctx, null_text_ctx,
+                    audio_ctx, null_audio_ctx, audio_token_indices):
             b = latents.shape[0]
 
             def rep(x):
@@ -120,7 +130,7 @@ class AnimationPipeline:
             def body(state, row):
                 x = jnp.concatenate([state.latents] * k)
                 t = jnp.broadcast_to(row["t_model"], (k * b,))
-                eps = self.unet.apply(self.unet_params, x, t, text_stack,
+                eps = self.unet.apply(unet_params, x, t, text_stack,
                                       audio_stack, None, audio_token_indices)
                 if do_text and do_audio:
                     e_u, e_t, e_ta = jnp.split(eps, 3)
@@ -141,14 +151,17 @@ class AnimationPipeline:
         return jax.jit(program)
 
     @functools.partial(jax.jit, static_argnums=0)
-    def decode_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
-        """(b, f, hh, ww, 4) scaled latents -> (b, f, h, w, 3) in [0, 1]."""
+    def _decode_latents(self, vae_params, latents: jnp.ndarray):
         b, f = latents.shape[:2]
         flat = latents.reshape((b * f,) + latents.shape[2:])
         flat = flat / self.vae.config.scaling_factor
-        imgs = self.vae.apply(self.vae_params, flat, method=self.vae.decode)
+        imgs = self.vae.apply(vae_params, flat, method=self.vae.decode)
         imgs = jnp.clip(imgs / 2.0 + 0.5, 0.0, 1.0)
         return imgs.reshape((b, f) + imgs.shape[1:])
+
+    def decode_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """(b, f, hh, ww, 4) scaled latents -> (b, f, h, w, 3) in [0, 1]."""
+        return self._decode_latents(self.vae_params, latents)
 
     # ---------------- main entry ----------------
 
@@ -192,8 +205,8 @@ class AnimationPipeline:
         program = self._denoise_program(
             num_inference_steps, sampler,
             float(text_guidance_scale), float(audio_guidance_scale))
-        latents = program(latents, text_encodings, null_text, audio_ctx,
-                          null_audio_ctx, token_idx)
+        latents = program(self.unet_params, latents, text_encodings,
+                          null_text, audio_ctx, null_audio_ctx, token_idx)
         if not decode:
             return latents
         return self.decode_latents(latents)
