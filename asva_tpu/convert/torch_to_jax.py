@@ -301,6 +301,67 @@ def inception_v3_key_map(segs: tuple) -> Optional[str]:
     return ".".join(segs[:-1] + [leaf])
 
 
+def _imagebind_trunk_keys(modality: str, body, leaf):
+    m = re.match(r"^blocks_(\d+)$", body[0])
+    if not m:
+        return None
+    i = m.group(1)
+    sub = body[1]
+    base = f"modality_trunks.{modality}.blocks.{i}"
+    if sub == "qkv":
+        return [f"{base}.attn.in_proj_{leaf}"]
+    table = {"norm1": "norm_1", "norm2": "norm_2",
+             "out_proj": "attn.out_proj", "fc1": "mlp.fc1",
+             "fc2": "mlp.fc2"}
+    if sub in table:
+        return [f"{base}.{table[sub]}.{leaf}"]
+    return None
+
+
+def imagebind_vision_key_map(segs: tuple):
+    """Our ImageBindVisionEncoder path -> imagebind_huge.pth key candidates."""
+    segs = [s for s in segs if s not in ("params", "batch_stats")]
+    leaf = {"kernel": "weight", "scale": "weight"}.get(segs[-1], segs[-1])
+    body = segs[:-1]
+    pre = "modality_preprocessors.vision"
+    if segs == ["cls_token"]:
+        return [f"{pre}.cls_token"]
+    if segs == ["pos_embed"]:
+        return [f"{pre}.pos_embedding_helper.pos_embed"]
+    if body and body[0] == "stem_proj":
+        return [f"{pre}.rgbt_stem.proj.1.{leaf}",
+                f"{pre}.rgbt_stem.proj.0.{leaf}"]
+    if body and body[0] == "pre_norm":
+        return [f"modality_trunks.vision.pre_transformer_layer.0.{leaf}"]
+    if body and body[0] == "head_norm":
+        return [f"modality_heads.vision.0.{leaf}"]
+    if body and body[0] == "head_proj":
+        return [f"modality_heads.vision.2.{leaf}"]
+    if body:
+        return _imagebind_trunk_keys("vision", body, leaf)
+    return None
+
+
+def imagebind_text_key_map(segs: tuple):
+    """Our ImageBindTextEncoder path -> imagebind_huge.pth key candidates."""
+    segs = [s for s in segs if s not in ("params", "batch_stats")]
+    leaf = {"kernel": "weight", "scale": "weight"}.get(segs[-1], segs[-1])
+    body = segs[:-1]
+    pre = "modality_preprocessors.text"
+    if body and body[0] == "token_embedding":
+        return [f"{pre}.token_embedding.{leaf}"]
+    if segs == ["pos_embed"]:
+        return [f"{pre}.pos_embed"]
+    if body and body[0] == "final_ln":
+        return [f"modality_heads.text.proj.0.{leaf}",
+                f"modality_trunks.text.post_transformer_layer.0.{leaf}"]
+    if body and body[0] == "text_proj":
+        return [f"modality_heads.text.proj.1.{leaf}"]
+    if body:
+        return _imagebind_trunk_keys("text", body, leaf)
+    return None
+
+
 def avsync_key_map(segs: tuple) -> Optional[str]:
     """Our AVSyncClassifier path -> reference avsync module keys.
 

@@ -71,6 +71,7 @@ class ImageBindVisionEncoder(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, n + 1, e))
         x = x + pos.astype(x.dtype)
+        x = AdaptiveOrLayerNorm(1e-6, name="pre_norm")(x)  # trunk pre-LN
         for i in range(cfg.num_blocks):
             x = TrunkBlock(e, cfg.num_heads, dtype=self.dtype,
                            name=f"blocks_{i}")(x)

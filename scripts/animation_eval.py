@@ -50,19 +50,39 @@ def build_eval_models(args):
                                          jnp.asarray(vids)))
 
     if args.eval_clipsim or args.eval_alignsync:
+        from asva_tpu.models.imagebind_extra import (ImageBindTextConfig,
+                                                     ImageBindTextEncoder)
         vis = ImageBindVisionEncoder(ImageBindVisionConfig())
-        vvars = vis.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+        vvars = jax.jit(lambda: vis.init(jax.random.PRNGKey(0),
+                                         jnp.zeros((1, 224, 224, 3))))()
+
         aud = ImageBindAudioEncoder(ImageBindAudioConfig())
-        avars = aud.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 204, 1)))
+        avars = jax.jit(lambda: aud.init(jax.random.PRNGKey(0),
+                                         jnp.zeros((1, 128, 204, 1))))()
 
         @jax.jit
-        def ia_sim(frames, mels):
+        def ia_sim(vvars, avars, frames, mels):
             v = vis.apply(vvars, jnp.asarray(frames))
             a, _ = aud.apply(avars, jnp.asarray(mels), normalize=True)
             a = a / 20.0  # de-scale the audio logit scaling
             return jnp.sum(v * a, axis=-1)
 
-        models.ia_sim = ia_sim
+        models.ia_sim = lambda frames, mels: ia_sim(vvars, avars, frames,
+                                                    mels)
+
+        txt = ImageBindTextEncoder(ImageBindTextConfig())
+        tvars = jax.jit(lambda: txt.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32)))()
+
+        @jax.jit
+        def it_sim(tvars, vvars, frames, ids):
+            v = vis.apply(vvars, jnp.asarray(frames))
+            t = txt.apply(tvars, jnp.asarray(ids))
+            # ImageBind text postprocessor scales by clip(exp(logit_scale),
+            # max=100); the eval divides it back out -> unit vectors
+            return jnp.sum(v * t, axis=-1)
+
+        models.it_sim = lambda frames, ids: it_sim(tvars, vvars, frames, ids)
     return models
 
 
@@ -102,10 +122,27 @@ def main():
     result_path = gen_root.replace("/videos", "/result.json")
 
     models = build_eval_models(args)
+
+    text_ids_for_category = None
+    if models.it_sim is not None:
+        try:
+            from asva_tpu.models.clip_text import tokenize
+            import numpy as np
+            cache = {}
+
+            def text_ids_for_category(cat):
+                if cat not in cache:
+                    cache[cat] = np.asarray(tokenize([cat]))[0]
+                return cache[cat]
+        except Exception as e:
+            print(f"it_sim disabled (tokenizer unavailable: {e})")
+            models.it_sim = None
+
     result = evaluate_generation_results(
         models, video_root, names, cats, args.num_clips_per_video,
         gen_root, result_path, tuple(args.image_size), args.video_fps,
         args.video_num_frame,
+        text_ids_for_category=text_ids_for_category,
         record_instance_metrics=args.record_instance_metrics)
     print({k: v for k, v in result.items() if isinstance(v, (int, float))})
 
