@@ -77,9 +77,12 @@ class FFInflatedConv(nn.Module):
         k_prev = k_prev.astype(y.dtype)
         k_curr = k_curr.astype(y.dtype)
 
-        head = y[:, 0:1]                                        # (b,1,h,w,C)
-        prev = jnp.concatenate([y[:, 0:1], y[:, :-1]], axis=1)  # prev of 0 is 0
-        mix = (head @ k_head) + (prev @ k_prev) + (y @ k_curr)
+        head = y[:, 0:1] @ k_head                    # (b,1,h,w,C), broadcast
+        # prev-frame term: shift AFTER the matmul (shift commutes with the
+        # per-position linear map), avoiding a full shifted copy of y
+        zp = y @ k_prev
+        prev = jnp.concatenate([zp[:, 0:1], zp[:, :-1]], axis=1)
+        mix = head + prev + (y @ k_curr)
         return y + mix + bias.astype(y.dtype)
 
 
