@@ -56,6 +56,14 @@ class AnimationTrainer:
     def loss_fn(self, unet_params, batch: dict, rng: jax.Array) -> jnp.ndarray:
         """batch: videos (b,f,h,w,3) in [0,1], mels (b,128,204,1),
         text_encodings (b,77,768)."""
+        return self._loss(unet_params, batch, rng, self.vae_params,
+                          self.audio_encoder_params, self.null_text_encoding)
+
+    def _loss(self, unet_params, batch: dict, rng: jax.Array, vae_params,
+              audio_encoder_params, null_text_encoding) -> jnp.ndarray:
+        # frozen params arrive as ARGUMENTS so jitted steps never embed them
+        # as compile-time constants (remote-compile payload limits; see
+        # pipelines/animation.py note)
         cfg = self.config
         videos = batch["videos"]
         b, f = videos.shape[0], videos.shape[1]
@@ -67,15 +75,15 @@ class AnimationTrainer:
 
         # 1. frozen encoders
         frames = (videos.reshape((b * f,) + videos.shape[2:]) - 0.5) / 0.5
-        latents = self.vae.apply(self.vae_params, frames, r_vae,
+        latents = self.vae.apply(vae_params, frames, r_vae,
                                  method=self.vae.sample_latents)
         latents = latents.reshape((b, f) + latents.shape[1:])
         latents = jax.lax.stop_gradient(latents)
 
         _, audio_enc, audio_masks = self.audio_encoder.apply(
-            self.audio_encoder_params, batch["mels"])
+            audio_encoder_params, batch["mels"])
         _, null_audio_enc, _ = self.audio_encoder.apply(
-            self.audio_encoder_params, jnp.zeros_like(batch["mels"]))
+            audio_encoder_params, jnp.zeros_like(batch["mels"]))
         audio_enc = jax.lax.stop_gradient(audio_enc)
         null_audio_enc = jax.lax.stop_gradient(null_audio_enc)
         # static per-frame token gather (equivalent to the boolean masks but
@@ -91,7 +99,7 @@ class AnimationTrainer:
         audio_keep = (jax.random.uniform(r_adrop, (b, 1, 1))
                       >= cfg.audio_cond_drop_prob)
         text_enc = jnp.where(text_keep, batch["text_encodings"],
-                             self.null_text_encoding.astype(videos.dtype))
+                             null_text_encoding.astype(videos.dtype))
         audio_enc = jnp.where(audio_keep, audio_enc, null_audio_enc)
         # masks are input-independent, so dropout does not alter them
 
@@ -123,21 +131,28 @@ class AnimationTrainer:
 
     def make_train_step(self, tx: optax.GradientTransformation,
                         donate: bool = True) -> Callable:
-        def step(state: TrainState, batch: dict, rng: jax.Array):
-            loss, grads = jax.value_and_grad(self.loss_fn)(
-                state.params, batch, rng)
+        def step(state: TrainState, batch: dict, rng: jax.Array, frozen):
+            loss, grads = jax.value_and_grad(self._loss)(
+                state.params, batch, rng, *frozen)
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.params)
             params = optax.apply_updates(state.params, updates)
             return TrainState(state.step + 1, params, opt_state), loss
 
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
+        jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+        frozen = (self.vae_params, self.audio_encoder_params,
+                  self.null_text_encoding)
+        return lambda state, batch, rng: jitted(state, batch, rng, frozen)
 
     def make_grad_step(self) -> Callable:
         """For gradient accumulation: returns (loss, grads)."""
-        def gstep(params, batch: dict, rng: jax.Array):
-            return jax.value_and_grad(self.loss_fn)(params, batch, rng)
-        return jax.jit(gstep)
+        def gstep(params, batch: dict, rng: jax.Array, frozen):
+            return jax.value_and_grad(self._loss)(params, batch, rng,
+                                                  *frozen)
+        jitted = jax.jit(gstep)
+        frozen = (self.vae_params, self.audio_encoder_params,
+                  self.null_text_encoding)
+        return lambda params, batch, rng: jitted(params, batch, rng, frozen)
 
     def make_apply_step(self, tx: optax.GradientTransformation) -> Callable:
         def astep(state: TrainState, grads):
