@@ -10,7 +10,7 @@ from __future__ import annotations
 import queue
 import random
 import threading
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

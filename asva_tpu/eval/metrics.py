@@ -14,7 +14,7 @@ eval.py:228-247):
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

@@ -8,7 +8,7 @@ configs can be consumed unchanged:
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -17,7 +17,7 @@ fourier time embedding, dual cross attention, linear projections.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -13,7 +13,7 @@ global-norm grad clip 1.0.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import optax

@@ -9,7 +9,6 @@ accumulation is a host-level micro-batch loop.
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
