@@ -39,12 +39,6 @@ def _center_trim_to_aspect(images: jnp.ndarray, target_h: int,
     return images[..., y0:y0 + trimmed_h, :, :]
 
 
-def _center_crop(images: jnp.ndarray, th: int, tw: int) -> jnp.ndarray:
-    h, w = images.shape[-3], images.shape[-2]
-    y0, x0 = (h - th) // 2, (w - tw) // 2
-    return images[..., y0:y0 + th, x0:x0 + tw, :]
-
-
 def sd_video_transform(frames: jnp.ndarray,
                        size: Union[int, Tuple[int, int]] = 256,
                        flip: bool = False,
@@ -52,13 +46,10 @@ def sd_video_transform(frames: jnp.ndarray,
     """frames (..., h, w, 3) in [0,1] -> (..., th, tw, 3)."""
     th, tw = (size, size) if isinstance(size, int) else size
     x = _center_trim_to_aspect(frames, th, tw)
-    h, w = x.shape[-3], x.shape[-2]
-    # torchvision Resize(size=(th,tw)) semantics for tuple size: exact resize;
-    # the trim above already fixed the aspect ratio
-    scale = max(th / h, tw / w)
-    rh, rw = int(round(h * scale)), int(round(w * scale))
-    x = resize_image(x, rh, rw, "bilinear", antialias=True)
-    x = _center_crop(x, th, tw)
+    # torchvision Resize((th, tw)) with a tuple resizes EXACTLY to the target
+    # (the center trim above already fixed the aspect ratio, so the reference
+    # chain Resize(size) + CenterCrop(size) reduces to this exact resize)
+    x = resize_image(x, th, tw, "bilinear", antialias=True)
     if flip:
         x = x[..., ::-1, :]
     if normalize:
