@@ -68,7 +68,9 @@ class SyncContrastiveTrainer:
 
         metrics = {"av_loss": av_loss, "va_loss": va_loss,
                    "av_acc": av_acc, "va_acc": va_acc}
-        return av_loss + va_loss, (metrics, new_model_state["batch_stats"])
+        # reference optimizes (av + va) / 2 (scripts/avsync_train.py:275)
+        return (av_loss + va_loss) / 2.0, (metrics,
+                                           new_model_state["batch_stats"])
 
     def make_train_step(self, tx: optax.GradientTransformation,
                         donate: bool = True) -> Callable:

@@ -87,7 +87,7 @@ def main():
                                      jax.process_count()))
     test_loader = DataLoader(make_ds(cfg.test_dataset, "test"),
                              cfg.test_batch_size, shuffle=False,
-                             num_workers=8)
+                             num_workers=8, drop_last=False)
 
     step_fn = trainer.make_train_step(tx)
     bshard = batch_sharding(mesh)
