@@ -137,15 +137,27 @@ def init_state(plan: SamplerPlan, latents: jnp.ndarray,
 
 
 def sampler_step(kind: str, plan_row: dict, state: SamplerState,
-                 eps: jnp.ndarray, step_slice=slice(None)) -> SamplerState:
+                 eps: jnp.ndarray, step_slice=slice(None),
+                 prediction_type: str = "epsilon") -> SamplerState:
     """Advance one sampler iteration.
 
     kind: "ddim" | "plms" (static).  plan_row: dict of scalars for this
     iteration (jnp scalars are fine inside scan).  eps: the model's epsilon
-    prediction for the *stepped* frames only (b, f', h, w, c).
+    (or v, for DDIM) prediction for the *stepped* frames only.
     """
     latents = state.latents
     sample = latents[:, step_slice]
+
+    if prediction_type == "v_prediction":
+        if kind != "ddim":
+            raise NotImplementedError(
+                "v_prediction is only supported with DDIM (as in diffusers)")
+        # v = sqrt(ac) eps - sqrt(1-ac) x0  =>  eps = sqrt(1-ac) x + sqrt(ac) v
+        ac_t_ = plan_row["ac_t"]
+        eps = (jnp.sqrt(1.0 - ac_t_) * sample
+               + plan_row["sqrt_ac_t"] * eps).astype(eps.dtype)
+    elif prediction_type != "epsilon":
+        raise ValueError(prediction_type)
 
     # combine eps with the history buffer
     w = plan_row["ets_weights"]  # (4,)

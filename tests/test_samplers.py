@@ -149,3 +149,26 @@ def test_frame0_pinning():
                                   np.asarray(x[:, 0]))
     assert not np.allclose(np.asarray(state.latents[:, 1]),
                            np.asarray(x[:, 1]))
+
+
+def test_ddim_v_prediction_recovers_x0(rng):
+    """With the true v target, DDIM-v walks back to x0 like DDIM-eps."""
+    x0 = jnp.asarray(rng.standard_normal((1, 2, 4, 4, 3)), dtype=jnp.float32)
+    eps = jnp.asarray(rng.standard_normal(x0.shape), dtype=jnp.float32)
+    ac = SCHED.alphas_cumprod
+    plan = ddim_plan(SCHED, 25)
+    rows = plan_row_arrays(plan)
+    t0 = plan.t_model[0]
+    xt = jnp.asarray(np.sqrt(ac[t0]) * x0 + np.sqrt(1 - ac[t0]) * eps)
+
+    state = init_state(plan, xt)
+    for i in range(plan.num_iterations):
+        row = jax.tree.map(lambda a: a[i], rows)
+        t = plan.t_model[i]
+        # true v at the current sample: v = sqrt(ac) eps - sqrt(1-ac) x0
+        v = np.sqrt(ac[t]) * eps - np.sqrt(1 - ac[t]) * x0
+        state = sampler_step("ddim", row, state, jnp.asarray(v),
+                             prediction_type="v_prediction")
+    final = np.sqrt(ac[0]) * np.asarray(x0) + np.sqrt(1 - ac[0]) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(state.latents), final, atol=2e-4,
+                               rtol=2e-4)
