@@ -220,16 +220,22 @@ class TemporalAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.num_heads * self.head_dim
-        xt = jnp.swapaxes(x, 1, 2)  # (b, n, f, c)
         to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="proj_to_q")
         to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="proj_to_k")
         to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="proj_to_v")
         to_out = nn.Dense(inner, use_bias=True, dtype=self.dtype,
                           kernel_init=nn.initializers.zeros, name="proj_to_out")
+        # attend over the frame axis directly in (b, f, n, h, d) layout —
+        # the einsum contracts f<->g per spatial position without an
+        # explicit (b, n, f, c) transpose materialization
         hd = (self.num_heads, self.head_dim)
-        q = to_q(xt).reshape(xt.shape[:-1] + hd)
-        k = to_k(xt).reshape(xt.shape[:-1] + hd)
-        v = to_v(xt).reshape(xt.shape[:-1] + hd)
-        out = dot_product_attention(q, k, v)
-        out = to_out(out.reshape(xt.shape[:-1] + (inner,)))
-        return jnp.swapaxes(out, 1, 2)
+        q = to_q(x).reshape(x.shape[:-1] + hd)   # (b, f, n, h, d)
+        k = to_k(x).reshape(x.shape[:-1] + hd)
+        v = to_v(x).reshape(x.shape[:-1] + hd)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, jnp.float32))
+        logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bnhfg,bgnhd->bfnhd", w, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        return to_out(out.reshape(x.shape[:-1] + (inner,)))
