@@ -161,6 +161,11 @@ class SyncJobConfig:
     batch_size: int = 4
     log_steps: int = 10
     tau: float = 0.1
+    # AVID-CMA initialization for the encoders (reference model.*.pretrained
+    # flags; avsync/models/audio.py:63-71 hard-codes the checkpoint path)
+    encoders_pretrained: bool = False
+    avid_cma_path: str = ("pretrained/AVID-CMA_Audioset_InstX-N1024-PosW-"
+                          "N64-Top32_checkpoint.pth.tar")
     train_dataset: SyncDatasetConfig = SyncDatasetConfig()
     test_dataset: SyncDatasetConfig = SyncDatasetConfig(mode="test")
     test_batch_size: int = 8
@@ -189,6 +194,11 @@ class SyncJobConfig:
             batch_size=train.get("batch_size", 4),
             log_steps=train.get("log_steps", 10),
             tau=model.get("tau", 0.1),
+            encoders_pretrained=bool(
+                model.get("audio_encoder", {}).get("pretrained", False)
+                or model.get("video_encoder", {}).get("pretrained", False)),
+            avid_cma_path=model.get(
+                "avid_cma_path", SyncJobConfig.avid_cma_path),
             train_dataset=fix(train.get("dataset", {})),
             test_dataset=fix(test.get("dataset", {})),
             test_batch_size=test.get("batch_size", 8),

@@ -230,48 +230,67 @@ def clip_text_key_map(segs: tuple) -> Optional[str]:
     return ".".join(out)
 
 
-def imagebind_audio_key_map(segs: tuple) -> Optional[str]:
-    """Our SegmaskAudioEncoder path -> the reference audio_encoder export key
-    space (preprocessor./trunk./head./final_layer_norm. prefixes, which the
-    reference's save_pretrained produces from the wrapped ImageBind tower)."""
+def imagebind_audio_key_map(segs: tuple):
+    """Our SegmaskAudioEncoder path -> torch key candidates.
+
+    Two source key spaces are covered (first match wins):
+      * the reference's audio_encoder export — ImageBindSegmaskAudioEncoder
+        save_pretrained, whose submodules are named preprocessor / trunk /
+        head / postprocessor / final_layer_norm
+        (avgen/models/audio_encoders/segmask_imagebind.py:57-61);
+      * the raw imagebind_huge.pth full-model state dict
+        (modality_preprocessors.audio. / modality_trunks.audio. / ...).
+
+    ImageBind internals: the audio stem lives under `rgbt_stem` (the
+    AudioPreprocessor passes audio_stem as RGBDTPreprocessor's rgbt_stem);
+    trunk blocks are BlockWithMasking with torch MultiheadAttention
+    (in_proj_*, bias_k/bias_v, out_proj) and Mlp(fc1, fc2); the audio trunk
+    has NO pre_transformer LayerNorm (pre_transformer_ln=False)."""
     segs = [s for s in segs if s not in ("params", "batch_stats")]
     if segs[0] == "imagebind":
         segs = segs[1:]
     leaf = {"kernel": "weight", "scale": "weight"}.get(segs[-1], segs[-1])
     body = segs[:-1]
+
+    def both(suffix):
+        """Expand an export-space key to [export, imagebind_huge] forms."""
+        for pre, full in (("preprocessor.", "modality_preprocessors.audio."),
+                          ("trunk.", "modality_trunks.audio."),
+                          ("head.", "modality_heads.audio.")):
+            if suffix.startswith(pre):
+                return [suffix, full + suffix[len(pre):]]
+        return [suffix]
+
+    if segs == ["cls_token"]:
+        return both("preprocessor.cls_token")
+    if segs == ["pos_embed"]:
+        return both("preprocessor.pos_embedding_helper.pos_embed")
     if not body:
         return None
     head0 = body[0]
     if head0 == "stem_proj":
-        return f"preprocessor.audio_stem.proj.0.{leaf}"
+        return (both(f"preprocessor.rgbt_stem.proj.0.{leaf}")
+                + both(f"preprocessor.audio_stem.proj.0.{leaf}"))
     if head0 == "stem_norm":
-        return f"preprocessor.audio_stem.norm_layer.{leaf}"
-    if segs == ["cls_token"]:
-        return "preprocessor.cls_token"
-    if segs == ["pos_embed"]:
-        return "preprocessor.pos_embedding_helper.pos_embed"
-    if head0 == "pre_norm":
-        return f"trunk.pre_transformer_layer.0.{leaf}"
+        return (both(f"preprocessor.rgbt_stem.norm_layer.{leaf}")
+                + both(f"preprocessor.audio_stem.norm_layer.{leaf}"))
     m = re.match(r"^blocks_(\d+)$", head0)
     if m:
         i = m.group(1)
-        sub = body[1]
-        table = {
-            "norm1": f"trunk.blocks.{i}.norm_1",
-            "norm2": f"trunk.blocks.{i}.norm_2",
-            "qkv": f"trunk.blocks.{i}.attn.in_proj",
-            "out_proj": f"trunk.blocks.{i}.attn.out_proj",
-            "fc1": f"trunk.blocks.{i}.mlp.fc1",
-            "fc2": f"trunk.blocks.{i}.mlp.fc2",
-        }
+        sub = segs[1]
         if sub == "qkv":
-            return f"trunk.blocks.{i}.attn.in_proj_{leaf}"
+            return both(f"trunk.blocks.{i}.attn.in_proj_{leaf}")
+        if sub in ("bias_k", "bias_v"):
+            return both(f"trunk.blocks.{i}.attn.{sub}")
+        table = {"norm1": "norm_1", "norm2": "norm_2",
+                 "out_proj": "attn.out_proj", "fc1": "mlp.fc1",
+                 "fc2": "mlp.fc2"}
         if sub in table:
-            return f"{table[sub]}.{leaf}"
+            return both(f"trunk.blocks.{i}.{table[sub]}.{leaf}")
     if head0 == "head_norm":
-        return f"head.0.{leaf}"
+        return both(f"head.0.{leaf}")
     if head0 == "head_proj":
-        return f"head.2.{leaf}"
+        return both(f"head.2.{leaf}")
     if head0 == "final_layer_norm":
         return f"final_layer_norm.{leaf}"
     return None
@@ -345,7 +364,8 @@ def imagebind_vision_key_map(segs: tuple):
 def imagebind_text_key_map(segs: tuple):
     """Our ImageBindTextEncoder path -> imagebind_huge.pth key candidates."""
     segs = [s for s in segs if s not in ("params", "batch_stats")]
-    leaf = {"kernel": "weight", "scale": "weight"}.get(segs[-1], segs[-1])
+    leaf = {"kernel": "weight", "scale": "weight",
+            "embedding": "weight"}.get(segs[-1], segs[-1])
     body = segs[:-1]
     pre = "modality_preprocessors.text"
     if body and body[0] == "token_embedding":

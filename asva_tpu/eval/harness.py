@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from glob import glob
+import re
 from typing import Callable, List, Optional, Tuple, Union
 
 import numpy as np
@@ -43,6 +43,25 @@ class EvalModels:
     avsync_score: Optional[Callable] = None   # (b,mel),(b,f,224,224,3)clip->(b,)
     ia_sim: Optional[Callable] = None         # (n,224,224,3)clip,(n,mel)->(n,)
     it_sim: Optional[Callable] = None         # (n,224,224,3)clip,(n,77)ids->(n,)
+    random_nets: List[str] = dataclasses.field(default_factory=list)
+
+
+def generated_clip_paths(root: str, stem: str) -> List[Tuple[int, str]]:
+    """Exact-name clip discovery: `<stem>_clip-<k>.mp4` full-matches only
+    (generate.py:147 naming), returned sorted by the parsed clip index k.
+
+    Unlike a `<stem>*.mp4` prefix glob this cannot double-count a stem that
+    prefixes another (`dog_1` vs `dog_10`)."""
+    sub, base = os.path.split(stem)
+    dirpath = os.path.join(root, sub) if sub else root
+    pat = re.compile(re.escape(base) + r"_clip-(\d+)\.mp4")
+    out = []
+    if os.path.isdir(dirpath):
+        for name in os.listdir(dirpath):
+            m = pat.fullmatch(name)
+            if m:
+                out.append((int(m.group(1)), os.path.join(dirpath, name)))
+    return sorted(out)
 
 
 def load_av_clips_uniformly(video_path: str, video_fps: int,
@@ -88,19 +107,29 @@ def evaluate_generation_results(
     names = sorted(groundtruth_video_names)
     cat_by_name = dict(zip(groundtruth_video_names, groundtruth_categories))
 
+    # explicit (video, clip-index) pairing: generated clip k of a video is
+    # compared against GT clip k (reference indexes clips explicitly,
+    # avgen/evaluations/eval.py:228-247)
+    clips_by_name = {}
     for name in names:
         stem = name.replace(".mp4", "")
-        found = len(glob(f"{generated_video_root}/{stem}*.mp4"))
-        assert found == num_clips_per_video, \
-            f"{name}: {found} generated clips != {num_clips_per_video}"
+        clips = generated_clip_paths(generated_video_root, stem)
+        assert len(clips) == num_clips_per_video, \
+            f"{name}: {len(clips)} generated clips != {num_clips_per_video}"
+        assert [k for k, _ in clips] == list(range(num_clips_per_video)), \
+            f"{name}: clip indices {[k for k, _ in clips]}"
+        clips_by_name[name] = clips
 
     result = {"groundtruth_video_root": groundtruth_video_root,
               "generated_video_root": generated_video_root,
               "num_clips_per_video": num_clips_per_video}
+    if models.random_nets:
+        result["RANDOM_WEIGHT_NETS"] = list(models.random_nets)
 
     gt_fid, gen_fid, gt_fvd, gen_fvd = [], [], [], []
-    gt_first_ia, gen_pred_ia = [], []
-    gt_sync, gen_sync, gen_ia, gen_it = [], [], [], []
+    gen_pred_ia, gen_sync, gen_ia, gen_it = [], [], [], []
+    gt_first_ia_by_name, gt_sync_by_name = {}, {}
+    paired_gt_sync, paired_gt_first_ia = [], []
 
     def fvd_in(videos):
         return fvd_frame_transform(videos)
@@ -119,16 +148,15 @@ def evaluate_generation_results(
             gt_fvd.append(np.asarray(models.fvd_features(fvd_in(videos))))
         if models.ia_sim is not None:
             first = clip_frame_transform(videos[:, 0])
-            gt_first_ia.append(np.asarray(
-                models.ia_sim(first, mels))[:, None])
+            gt_first_ia_by_name[name] = np.asarray(
+                models.ia_sim(first, mels))  # (num_clips,)
         if models.avsync_score is not None:
-            gt_sync.append(np.asarray(models.avsync_score(
-                mels, clip_frame_transform(videos))))
+            gt_sync_by_name[name] = np.asarray(models.avsync_score(
+                mels, clip_frame_transform(videos)))  # (num_clips,)
 
-    # pass 2: generated clips
+    # pass 2: generated clips, paired with their GT clip index
     for name in names:
-        stem = name.replace(".mp4", "")
-        for path in sorted(glob(f"{generated_video_root}/{stem}*.mp4")):
+        for clip_idx, path in clips_by_name[name]:
             videos, mels = load_av_clips_uniformly(
                 path, video_fps, video_num_frame, image_size, 1)
             if models.fid_features is not None:
@@ -144,6 +172,8 @@ def evaluate_generation_results(
                     sims = np.asarray(models.ia_sim(frames, mels_rep))
                     gen_ia.append(sims[1:].mean(keepdims=True))
                     gen_pred_ia.append(sims[None, 1:])
+                    paired_gt_first_ia.append(
+                        gt_first_ia_by_name[name][clip_idx])
                 if models.it_sim is not None and text_ids_for_category:
                     ids = text_ids_for_category(cat_by_name[name])
                     ids_rep = np.repeat(ids[None], video_num_frame, axis=0)
@@ -152,6 +182,7 @@ def evaluate_generation_results(
             if models.avsync_score is not None:
                 gen_sync.append(np.asarray(models.avsync_score(
                     mels, clip_frame_transform(videos))))
+                paired_gt_sync.append(gt_sync_by_name[name][clip_idx])
 
     # reducers
     if models.fid_features is not None:
@@ -168,14 +199,15 @@ def evaluate_generation_results(
         its = np.concatenate(gen_it)
         result.update(IT_mean=float(its.mean()), IT_std=float(its.std(ddof=1)))
     if models.avsync_score is not None:
-        gt_s = np.repeat(np.stack(gt_sync).reshape(-1), 1)
+        gt_s = np.asarray(paired_gt_sync)
         gen_s = np.concatenate(gen_sync)
         rel = relsync_from_scores(gt_s, gen_s)
         result.update(RelSync_mean=float(rel.mean()),
                       RelSync_std=float(rel.std(ddof=1)))
         if gen_pred_ia:
-            align = alignsync_from_sims(np.concatenate(gt_first_ia).reshape(-1, 1),
-                                        np.concatenate(gen_pred_ia), rel)
+            align = alignsync_from_sims(
+                np.asarray(paired_gt_first_ia).reshape(-1, 1),
+                np.concatenate(gen_pred_ia), rel)
             result.update(AlignSync_mean=float(align.mean()),
                           AlignSync_std=float(align.std(ddof=1)))
 
@@ -183,8 +215,7 @@ def evaluate_generation_results(
         inst = {}
         i = 0
         for name in names:
-            stem = name.replace(".mp4", "")
-            for path in sorted(glob(f"{generated_video_root}/{stem}*.mp4")):
+            for _, path in clips_by_name[name]:
                 key = os.path.basename(path)
                 inst[key] = {"RelSync": float(rel[i])}
                 if gen_ia:

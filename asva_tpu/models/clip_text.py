@@ -92,14 +92,13 @@ class CLIPTextModel(nn.Module):
 
 def tokenize(texts, max_length: int = 77,
              tokenizer_path: str = "pretrained/stable-diffusion-v1-5/tokenizer"):
-    """CLIP BPE tokenization via transformers' tokenizer (host-side, slow
-    path only; all dataset flows use precomputed encodings).
+    """CLIP BPE tokenization (host-side, slow path only; all dataset flows
+    use precomputed encodings).  Self-contained — no transformers needed.
 
-    tokenizer_path should hold the SD1.5 tokenizer files (vocab.json +
-    merges.txt) — the reference's checkpoint layout — so this works offline.
+    tokenizer_path may hold the SD1.5 tokenizer files (vocab.json +
+    merges.txt, the reference's checkpoint layout) or ImageBind's
+    bpe_simple_vocab_16e6.txt.gz; see models/clip_bpe.py.
     """
-    from transformers import CLIPTokenizer
-    tok = CLIPTokenizer.from_pretrained(tokenizer_path)
-    out = tok(texts, padding="max_length", max_length=max_length,
-              truncation=True, return_tensors="np")
-    return jnp.asarray(out["input_ids"])
+    from .clip_bpe import ClipBPETokenizer
+    tok = ClipBPETokenizer.from_pretrained(tokenizer_path)
+    return jnp.asarray(tok(texts, context_length=max_length))

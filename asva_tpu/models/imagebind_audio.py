@@ -7,8 +7,11 @@ public ImageBind audio tower:
   preprocessor: Conv2d(1 -> 768, kernel 16, stride 10, no bias) on the
     (128, 204) mel image -> 12x19 = 228 patches, LayerNorm, prepend CLS
     token, add learnable positional embedding (1, 229, 768).
-  trunk: pre-LN (eps 1e-6), 12 transformer blocks (12 heads, MLP x4, GELU,
-    qkv+out biases), NO final norm — token encodings are returned pre-LN.
+  trunk: 12 transformer blocks (12 heads, MLP x4, GELU, qkv+out biases,
+    torch-MultiheadAttention bias_k/bias_v appended as an extra KV token —
+    imagebind_huge builds the audio trunk with add_bias_kv=True and
+    pre_transformer_ln=False), NO pre/final norm — token encodings are
+    returned un-normalized.
   head: LayerNorm -> CLS select -> Linear(768 -> 1024, no bias).
   postprocessor: L2-normalize then divide by logit_scale=20 (only for
     normalized cls embeddings).
@@ -44,6 +47,9 @@ class ImageBindAudioConfig:
     stride: int = 10
     mel_bins: int = 128
     mel_frames: int = 204
+    # imagebind_huge audio trunk flags (vision uses the opposite pair)
+    add_bias_kv: bool = True
+    pre_trunk_norm: bool = False
 
     @property
     def patch_grid(self) -> Tuple[int, int]:
@@ -96,10 +102,15 @@ def segment_token_indices(n_segment: int,
 
 
 class TrunkBlock(nn.Module):
-    """Pre-norm ViT block; fused qkv Dense in torch [q;k;v] layout."""
+    """Pre-norm ViT block; fused qkv Dense in torch [q;k;v] layout.
+
+    add_bias_kv mirrors torch nn.MultiheadAttention(add_bias_kv=True): one
+    learned (1, 1, e) bias_k / bias_v appended to the *projected* K and V as
+    an extra attended position (imagebind_huge audio/depth/thermal trunks)."""
     embed_dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    add_bias_kv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -109,10 +120,21 @@ class TrunkBlock(nn.Module):
         y = AdaptiveOrLayerNorm(1e-6, name="norm1")(x)
         qkv = nn.Dense(3 * e, dtype=self.dtype, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        shape = y.shape[:-1] + (h, d)
+        if self.add_bias_kv:
+            bias_k = self.param("bias_k", nn.initializers.normal(0.02),
+                                (1, 1, e))
+            bias_v = self.param("bias_v", nn.initializers.normal(0.02),
+                                (1, 1, e))
+            ones = (x.shape[0], 1, e)
+            k = jnp.concatenate(
+                [k, jnp.broadcast_to(bias_k.astype(k.dtype), ones)], axis=1)
+            v = jnp.concatenate(
+                [v, jnp.broadcast_to(bias_v.astype(v.dtype), ones)], axis=1)
+        shape_q = y.shape[:-1] + (h, d)
+        shape_kv = k.shape[:-1] + (h, d)
         from ..ops.attention import dot_product_attention
-        attn = dot_product_attention(q.reshape(shape), k.reshape(shape),
-                                     v.reshape(shape))
+        attn = dot_product_attention(q.reshape(shape_q), k.reshape(shape_kv),
+                                     v.reshape(shape_kv))
         attn = attn.reshape(y.shape[:-1] + (e,))
         x = x + nn.Dense(e, dtype=self.dtype, name="out_proj")(attn)
 
@@ -147,9 +169,11 @@ class ImageBindAudioEncoder(nn.Module):
                          (1, cfg.num_tokens, e))
         x = x + pos.astype(x.dtype)
 
-        x = AdaptiveOrLayerNorm(1e-6, name="pre_norm")(x)
+        if cfg.pre_trunk_norm:
+            x = AdaptiveOrLayerNorm(1e-6, name="pre_norm")(x)
         for i in range(cfg.num_blocks):
-            x = TrunkBlock(e, cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype,
+            x = TrunkBlock(e, cfg.num_heads, cfg.mlp_ratio,
+                           add_bias_kv=cfg.add_bias_kv, dtype=self.dtype,
                            name=f"blocks_{i}")(x)
         tokens = x  # pre-final-norm, as the reference returns them
 

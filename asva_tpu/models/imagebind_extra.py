@@ -112,9 +112,10 @@ class ImageBindTextEncoder(nn.Module):
         e = cfg.embed_dim
         x = nn.Embed(cfg.vocab_size, e, dtype=self.dtype,
                      name="token_embedding")(input_ids)
+        # (1, context, e) — matches modality_preprocessors.text.pos_embed
         pos = self.param("pos_embed", nn.initializers.normal(0.01),
-                         (cfg.context_length, e))
-        x = x + pos[None, :n].astype(x.dtype)
+                         (1, cfg.context_length, e))
+        x = x + pos[:, :n].astype(x.dtype)
         causal = jnp.asarray(np.tril(np.ones((n, n), bool))[None, None])
         # ImageBind text uses the same BlockWithMasking trunk with a causal
         # mask; reuse TrunkBlock's layout by folding the mask into attention

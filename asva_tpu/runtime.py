@@ -156,6 +156,27 @@ def build_avsync_classifier(weights_dirs: Optional[dict] = None,
     return model, variables
 
 
+def init_avsync_from_avid_cma(variables, path: str):
+    """Initialize the classifier's encoders from a raw AVID-CMA checkpoint.
+
+    The reference loads the tar's ["model"] dict and strips the DDP
+    module.{audio,video}_model. prefixes before load_state_dict
+    (avsync/models/audio.py:63-71, video.py:84-91).  Head params have no
+    AVID-CMA source and stay fresh.  Returns (variables, report)."""
+    state = load_torch_state(path)
+    renamed = {}
+    for k, v in state.items():
+        if k.startswith("module.audio_model."):
+            renamed["audio_encoder." + k[len("module.audio_model."):]] = v
+        elif k.startswith("module.video_model."):
+            renamed["video_encoder." + k[len("module.video_model."):]] = v
+    variables, report = convert_state_dict(variables, renamed, avsync_key_map)
+    log.info("avsync: AVID-CMA init converted %d tensors (%d fresh, "
+             "%d unused) from %s", len(report["converted"]),
+             len(report["fresh"]), len(report["unused"]), path)
+    return variables, report
+
+
 def load_null_text_encoding(path: Optional[str]):
     if path and os.path.isfile(path):
         if path.endswith(".npy"):

@@ -10,10 +10,56 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from animation_gen import get_evaluation_data  # noqa: E402
 
 
+def _find_file(*candidates):
+    for p in candidates:
+        if p and os.path.isfile(p):
+            return p
+    return None
+
+
+def _load_or_refuse(variables, key_map, path, candidates, label, args,
+                    random_nets, expect_fresh=()):
+    """Convert torch weights into `variables`, refusing to run random nets.
+
+    Reference behavior: metric nets always load published weights
+    (avgen/evaluations/models/inception_v3.py:13 FID_WEIGHTS_URL,
+    models/download.py:48-55 i3d_torchscript, clip.py:27 imagebind_huge).
+    With no weights on disk this either aborts (default) or clearly labels
+    the net as random (--allow_random_eval_nets)."""
+    if path is None:
+        msg = (f"{label}: no weights found (looked for: "
+               f"{', '.join(c for c in candidates if c)})")
+        if not args.allow_random_eval_nets:
+            sys.exit(msg + "\nRefusing to compute metrics with randomly "
+                     "initialized nets — results would be meaningless. "
+                     "Pass --allow_random_eval_nets to override.")
+        print(f"WARNING: {msg} — RUNNING WITH RANDOM WEIGHTS; "
+              f"'{label}' numbers are meaningless.")
+        random_nets.append(label)
+        return variables
+    from asva_tpu.convert import convert_state_dict, load_torch_state
+    state = load_torch_state(path)
+    variables, report = convert_state_dict(variables, state, key_map)
+    bad = [p for p in report["fresh"]
+           if not any(tag in p for tag in expect_fresh)]
+    if bad:
+        sys.exit(f"{label}: {len(bad)} parameters missing from {path} "
+                 f"(converter/key-map mismatch): {bad[:5]}")
+    print(f"{label}: converted {len(report['converted'])} tensors "
+          f"from {path}")
+    return variables
+
+
 def build_eval_models(args):
-    """Assemble jitted metric callables from available checkpoints."""
+    """Assemble jitted metric callables, loading the published checkpoints
+    from the reference's pretrained/ layout."""
     import jax
     import jax.numpy as jnp
+    from asva_tpu.convert.torch_to_jax import (i3d_key_map,
+                                               imagebind_audio_key_map,
+                                               imagebind_text_key_map,
+                                               imagebind_vision_key_map,
+                                               inception_v3_key_map)
     from asva_tpu.eval.harness import EvalModels
     from asva_tpu.models.evalnets import InceptionI3D, InceptionV3FID
     from asva_tpu.models.imagebind_extra import (ImageBindVisionConfig,
@@ -23,30 +69,65 @@ def build_eval_models(args):
     from asva_tpu.runtime import build_avsync_classifier
 
     models = EvalModels()
+    root = args.pretrained_root
+    models.random_nets = random_nets = []
+    imagebind_path = _find_file(
+        os.path.join(root, ".checkpoints", "imagebind_huge.pth"),
+        os.path.join(root, "imagebind_huge.pth"))
 
     if args.eval_fid:
-        net = InceptionV3FID()
-        variables = net.init(jax.random.PRNGKey(0),
-                             jnp.zeros((1, 229, 229, 3)))
-        # TODO(weights): convert pt_inception FID weights when available
+        fid_net = InceptionV3FID()
+        fid_vars = jax.jit(lambda: fid_net.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 229, 229, 3))))()
+        fid_path = _find_file(
+            os.path.join(root, "pt_inception-2015-12-05-6726825d.pth"),
+            os.path.join(root, "pt_inception.pth"))
+        fid_vars = _load_or_refuse(
+            fid_vars, inception_v3_key_map, fid_path,
+            [os.path.join(root, "pt_inception-2015-12-05-6726825d.pth")],
+            "fid_inception_v3", args, random_nets)
+        # NOTE: bind net+vars per metric — a shared local name here would be
+        # captured by reference and rebound by the next block
         models.fid_features = jax.jit(
-            lambda x: net.apply(variables, jnp.asarray(x)))
+            lambda x: fid_net.apply(fid_vars, jnp.asarray(x)))
 
     if args.eval_fvd:
-        net = InceptionI3D()
-        variables = net.init(jax.random.PRNGKey(0),
-                             jnp.zeros((1, 12, 224, 224, 3)))
+        i3d_net = InceptionI3D()
+        i3d_vars = jax.jit(lambda: i3d_net.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 12, 224, 224, 3))))()
+        i3d_path = _find_file(os.path.join(root, "i3d_state.pt"))
+        if i3d_path is None:
+            blob = _find_file(os.path.join(root, "i3d_torchscript.pt"))
+            if blob is not None:  # extract the torchscript blob's state dict
+                import torch
+                state = {k: v.float()
+                         for k, v in torch.jit.load(
+                             blob, map_location="cpu").state_dict().items()}
+                i3d_path = os.path.join(root, "i3d_state.pt")
+                torch.save(state, i3d_path)
+                print(f"fvd_i3d: extracted {len(state)} tensors from {blob}")
+        i3d_vars = _load_or_refuse(
+            i3d_vars, i3d_key_map, i3d_path,
+            [os.path.join(root, "i3d_torchscript.pt")],
+            "fvd_i3d", args, random_nets)
         models.fvd_features = jax.jit(
-            lambda v: net.apply(variables, jnp.asarray(v)))
+            lambda v: i3d_net.apply(i3d_vars, jnp.asarray(v)))
 
     if args.eval_relsync or args.eval_alignsync:
         wd = None
-        if args.avsync_checkpoint:
+        if args.avsync_checkpoint and os.path.isdir(args.avsync_checkpoint):
             wd = {m: os.path.join(args.avsync_checkpoint, m)
                   for m in ("audio_encoder", "video_encoder", "head")}
-        clf, variables = build_avsync_classifier(wd)
+        elif not args.allow_random_eval_nets:
+            sys.exit(f"avsync classifier checkpoint not found at "
+                     f"{args.avsync_checkpoint}; pass --avsync_checkpoint "
+                     "or --allow_random_eval_nets")
+        else:
+            print("WARNING: avsync classifier running with RANDOM weights")
+            random_nets.append("avsync_classifier")
+        clf, clf_vars = build_avsync_classifier(wd)
         models.avsync_score = jax.jit(
-            lambda mels, vids: clf.apply(variables, jnp.asarray(mels),
+            lambda mels, vids: clf.apply(clf_vars, jnp.asarray(mels),
                                          jnp.asarray(vids)))
 
     if args.eval_clipsim or args.eval_alignsync:
@@ -55,10 +136,18 @@ def build_eval_models(args):
         vis = ImageBindVisionEncoder(ImageBindVisionConfig())
         vvars = jax.jit(lambda: vis.init(jax.random.PRNGKey(0),
                                          jnp.zeros((1, 224, 224, 3))))()
+        vvars = _load_or_refuse(
+            vvars, imagebind_vision_key_map, imagebind_path,
+            [os.path.join(root, ".checkpoints", "imagebind_huge.pth")],
+            "imagebind_vision", args, random_nets)
 
         aud = ImageBindAudioEncoder(ImageBindAudioConfig())
         avars = jax.jit(lambda: aud.init(jax.random.PRNGKey(0),
                                          jnp.zeros((1, 128, 204, 1))))()
+        avars = _load_or_refuse(
+            avars, imagebind_audio_key_map, imagebind_path,
+            [os.path.join(root, ".checkpoints", "imagebind_huge.pth")],
+            "imagebind_audio", args, random_nets)
 
         @jax.jit
         def ia_sim(vvars, avars, frames, mels):
@@ -73,6 +162,10 @@ def build_eval_models(args):
         txt = ImageBindTextEncoder(ImageBindTextConfig())
         tvars = jax.jit(lambda: txt.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32)))()
+        tvars = _load_or_refuse(
+            tvars, imagebind_text_key_map, imagebind_path,
+            [os.path.join(root, ".checkpoints", "imagebind_huge.pth")],
+            "imagebind_text", args, random_nets)
 
         @jax.jit
         def it_sim(tvars, vvars, frames, ids):
@@ -105,6 +198,13 @@ def main():
     for flag in ("fid", "fvd", "clipsim", "relsync", "alignsync"):
         p.add_argument(f"--eval_{flag}", action="store_true")
     p.add_argument("--record_instance_metrics", action="store_true")
+    p.add_argument("--pretrained_root", default="pretrained",
+                   help="directory holding the published metric-net weights "
+                        "(pt_inception-2015-12-05-6726825d.pth, "
+                        "i3d_torchscript.pt, .checkpoints/imagebind_huge.pth)")
+    p.add_argument("--allow_random_eval_nets", action="store_true",
+                   help="compute metrics even when a metric net's weights "
+                        "are missing (CLEARLY LABELED; numbers meaningless)")
     args = p.parse_args()
 
     if args.image_size is None:
@@ -125,18 +225,30 @@ def main():
 
     text_ids_for_category = None
     if models.it_sim is not None:
-        try:
-            from asva_tpu.models.clip_text import tokenize
-            import numpy as np
+        import numpy as np
+        from asva_tpu.models.clip_bpe import ClipBPETokenizer
+        tok_path = _find_file(
+            os.path.join(args.pretrained_root, "bpe_simple_vocab_16e6.txt.gz"),
+            os.path.join(args.pretrained_root, "stable-diffusion-v1-5",
+                         "tokenizer", "vocab.json"))
+        if tok_path is None:
+            msg = ("it_sim: no CLIP BPE files found (looked for "
+                   f"{args.pretrained_root}/bpe_simple_vocab_16e6.txt.gz and "
+                   f"{args.pretrained_root}/stable-diffusion-v1-5/tokenizer/)")
+            if not args.allow_random_eval_nets:
+                sys.exit(msg)
+            print(f"WARNING: {msg} — IT disabled")
+            models.it_sim = None
+        else:
+            if tok_path.endswith("vocab.json"):
+                tok_path = os.path.dirname(tok_path)
+            tok = ClipBPETokenizer.from_pretrained(tok_path)
             cache = {}
 
             def text_ids_for_category(cat):
                 if cat not in cache:
-                    cache[cat] = np.asarray(tokenize([cat]))[0]
+                    cache[cat] = np.asarray(tok([cat]))[0]
                 return cache[cat]
-        except Exception as e:
-            print(f"it_sim disabled (tokenizer unavailable: {e})")
-            models.it_sim = None
 
     result = evaluate_generation_results(
         models, video_root, names, cats, args.num_clips_per_video,

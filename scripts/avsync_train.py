@@ -50,6 +50,17 @@ def main():
                          jnp.zeros((1, 128, 204, 1)),
                          jnp.zeros((1, f, s, s, 3)))
 
+    if cfg.encoders_pretrained:
+        if os.path.isfile(cfg.avid_cma_path):
+            from asva_tpu.runtime import init_avsync_from_avid_cma
+            variables, _ = init_avsync_from_avid_cma(dict(variables),
+                                                     cfg.avid_cma_path)
+        else:
+            log.warning(
+                "config requests AVID-CMA pretrained encoders but %s is "
+                "missing — training from scratch will NOT reproduce the "
+                "reference protocol", cfg.avid_cma_path)
+
     trainer = SyncContrastiveTrainer(clf, tau=cfg.tau)
     tx = build_optimizer(
         cfg.optim.learning_rate, max_grad_norm=cfg.optim.max_grad_norm,

@@ -95,3 +95,19 @@ def test_harness_end_to_end_with_stub_models(eval_tree, tmp_path):
     import os, json
     assert os.path.exists(tmp_path / "result.json")
     json.load(open(tmp_path / "result.json"))
+
+
+def test_generated_clip_paths_prefix_collision(tmp_path):
+    """`dog_1` must not pick up `dog_10`'s clips (VERDICT weak #4); pairing
+    is by parsed clip index, not directory order."""
+    from asva_tpu.eval.harness import generated_clip_paths
+    for stem in ("dog_1", "dog_10"):
+        for k in (1, 0):  # written out of order on purpose
+            (tmp_path / f"{stem}_clip-{k:02d}.mp4").write_bytes(b"x")
+    (tmp_path / "dog_1_clip-extra.mp4").write_bytes(b"x")   # malformed: skip
+    got = generated_clip_paths(str(tmp_path), "dog_1")
+    assert [k for k, _ in got] == [0, 1]
+    assert all(p.endswith(f"dog_1_clip-{k:02d}.mp4") for k, p in got)
+    got10 = generated_clip_paths(str(tmp_path), "dog_10")
+    assert [k for k, _ in got10] == [0, 1]
+    assert all("dog_10_clip" in p for _, p in got10)
