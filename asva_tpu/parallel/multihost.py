@@ -40,3 +40,48 @@ def maybe_initialize_distributed() -> bool:
         log.warning("jax.distributed.initialize failed (%s); continuing "
                     "single-host", e)
         return False
+
+
+def process_allgather(x, tiled: bool = True):
+    """All-gather a host-local numpy array across processes.
+
+    Single-process: identity.  Multi-process: equal-shaped arrays are
+    gathered with jax.experimental.multihost_utils; tiled=True concatenates
+    along axis 0, else stacks a leading process axis.  The TPU counterpart
+    of the reference's accelerator.gather (scripts/avsync_eval.py:150-152).
+    """
+    import jax
+    import numpy as np
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=tiled))
+
+
+def gather_metric_records(indices, values):
+    """Gather per-example eval records from all processes and dedup by
+    example index (reference scripts/avsync_eval.py:158-167: sharded eval
+    may evaluate an index on more than one rank).
+
+    indices: (n,) int example ids (host-local); values: (n, ...) floats.
+    Returns (unique_indices, values_at_unique) sorted by index; handles
+    ragged per-process counts by padding to the global max with index -1.
+    """
+    import jax
+    import numpy as np
+    indices = np.asarray(indices, dtype=np.int64)
+    values = np.asarray(values, dtype=np.float64)
+    if jax.process_count() > 1:
+        counts = process_allgather(np.array([len(indices)]))
+        m = int(counts.max())
+        pad_idx = np.full((m,), -1, dtype=np.int64)
+        pad_idx[:len(indices)] = indices
+        pad_val = np.zeros((m,) + values.shape[1:], dtype=np.float64)
+        pad_val[:len(values)] = values
+        indices = process_allgather(pad_idx).reshape(-1)
+        values = process_allgather(pad_val).reshape((-1,) + values.shape[1:])
+        keep = indices >= 0
+        indices, values = indices[keep], values[keep]
+    uniq, first = np.unique(indices, return_index=True)
+    return uniq, values[first]

@@ -44,6 +44,8 @@ class AnimationPipeline:
     schedule: DiffusionSchedule = DiffusionSchedule()
     null_text_encoding: Optional[jnp.ndarray] = None  # (1, 77, 768)
     mesh: Optional[object] = None  # jax.sharding.Mesh for multi-chip batches
+    _null_audio: Optional[jnp.ndarray] = dataclasses.field(
+        default=None, init=False, repr=False)
 
     def _shard_batch(self, tree):
         """Shard leading (batch) axes over the mesh's data axis; params stay
@@ -69,14 +71,24 @@ class AnimationPipeline:
     @functools.partial(jax.jit, static_argnums=0)
     def _encode_audio(self, audio_encoder_params, mels: jnp.ndarray):
         _, enc, masks = self.audio_encoder.apply(audio_encoder_params, mels)
-        _, null_enc, _ = self.audio_encoder.apply(
-            audio_encoder_params, jnp.zeros_like(mels[:1]))
-        return enc, masks, null_enc
+        return enc, masks
+
+    def null_audio_encoding(self) -> jnp.ndarray:
+        """Encoding of a zero mel — a constant of the frozen tower, cached
+        so repeated pipeline calls don't pay a second tower pass (the
+        reference recomputes it per call, pipeline...py:159-196)."""
+        if self._null_audio is None:
+            cfg = self.audio_encoder.config
+            zero = jnp.zeros((1, cfg.mel_bins, cfg.mel_frames, 1))
+            null_enc, _ = self._encode_audio(self.audio_encoder_params, zero)
+            self._null_audio = null_enc
+        return self._null_audio
 
     def encode_audio(self, mels: jnp.ndarray):
         """mels (b, 128, 204, 1) -> (encodings (b,229,768), masks (b,s,229),
         null_encodings (1,229,768))."""
-        return self._encode_audio(self.audio_encoder_params, mels)
+        enc, masks = self._encode_audio(self.audio_encoder_params, mels)
+        return enc, masks, self.null_audio_encoding()
 
     @functools.partial(jax.jit, static_argnums=0)
     def _encode_image(self, vae_params, images: jnp.ndarray, rng: jax.Array):

@@ -52,15 +52,34 @@ class AnimationTrainer:
     null_text_encoding: jnp.ndarray       # (1, 77, 768)
     schedule: DiffusionSchedule = DiffusionSchedule()
     config: AnimationTrainConfig = AnimationTrainConfig()
+    _null_audio: Any = dataclasses.field(default=None, init=False,
+                                         repr=False)
+
+    def null_audio_encoding(self) -> jnp.ndarray:
+        """Encoding of a zero mel — constant while the audio tower is
+        frozen, so it is computed once instead of one tower pass per train
+        step (reference recomputes it every forward,
+        audio_cond_animation_trainer.py:108-111)."""
+        if self._null_audio is None:
+            cfg = self.audio_encoder.config
+            zero = jnp.zeros((1, cfg.mel_bins, cfg.mel_frames, 1))
+            _, enc, _ = jax.jit(self.audio_encoder.apply)(
+                self.audio_encoder_params, zero)
+            self._null_audio = jax.lax.stop_gradient(enc)
+        return self._null_audio
+
+    def _frozen(self):
+        return (self.vae_params, self.audio_encoder_params,
+                self.null_text_encoding, self.null_audio_encoding())
 
     def loss_fn(self, unet_params, batch: dict, rng: jax.Array) -> jnp.ndarray:
         """batch: videos (b,f,h,w,3) in [0,1], mels (b,128,204,1),
         text_encodings (b,77,768)."""
-        return self._loss(unet_params, batch, rng, self.vae_params,
-                          self.audio_encoder_params, self.null_text_encoding)
+        return self._loss(unet_params, batch, rng, *self._frozen())
 
     def _loss(self, unet_params, batch: dict, rng: jax.Array, vae_params,
-              audio_encoder_params, null_text_encoding) -> jnp.ndarray:
+              audio_encoder_params, null_text_encoding,
+              null_audio_enc) -> jnp.ndarray:
         # frozen params arrive as ARGUMENTS so jitted steps never embed them
         # as compile-time constants (remote-compile payload limits; see
         # pipelines/animation.py note)
@@ -82,10 +101,7 @@ class AnimationTrainer:
 
         _, audio_enc, audio_masks = self.audio_encoder.apply(
             audio_encoder_params, batch["mels"])
-        _, null_audio_enc, _ = self.audio_encoder.apply(
-            audio_encoder_params, jnp.zeros_like(batch["mels"]))
         audio_enc = jax.lax.stop_gradient(audio_enc)
-        null_audio_enc = jax.lax.stop_gradient(null_audio_enc)
         # static per-frame token gather (equivalent to the boolean masks but
         # with no (n x n_ctx) logits; see CrossAttention.context_indices)
         from ..models.imagebind_audio import segment_token_indices
@@ -140,8 +156,7 @@ class AnimationTrainer:
             return TrainState(state.step + 1, params, opt_state), loss
 
         jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
-        frozen = (self.vae_params, self.audio_encoder_params,
-                  self.null_text_encoding)
+        frozen = self._frozen()
         return lambda state, batch, rng: jitted(state, batch, rng, frozen)
 
     def make_grad_step(self) -> Callable:
@@ -150,8 +165,7 @@ class AnimationTrainer:
             return jax.value_and_grad(self._loss)(params, batch, rng,
                                                   *frozen)
         jitted = jax.jit(gstep)
-        frozen = (self.vae_params, self.audio_encoder_params,
-                  self.null_text_encoding)
+        frozen = self._frozen()
         return lambda params, batch, rng: jitted(params, batch, rng, frozen)
 
     def make_apply_step(self, tx: optax.GradientTransformation) -> Callable:

@@ -7,7 +7,12 @@ previous checkpoint unless its step is a multiple of
 + step (+ host RNG state); `latest_step` supports resume_from_checkpoint=
 "latest" (scripts/animation_train.py:268-290).
 
-Saves are async (orbax) so the TPU keeps stepping while the host writes.
+Saves are async (orbax AsyncCheckpointer): `save()` snapshots the arrays
+and returns while the host persists in the background, so the train loop
+keeps stepping during the write.  Retention is applied lazily — the
+previous checkpoint is deleted only once the newer one has fully
+committed (at the next save() or at close()), so a crash mid-write never
+leaves zero usable checkpoints.
 """
 from __future__ import annotations
 
@@ -26,8 +31,9 @@ class CheckpointManager:
         os.makedirs(self.directory, exist_ok=True)
         self.checkpointing_steps = checkpointing_steps
         self.milestone_steps = milestone_steps
-        self._ckpt = ocp.StandardCheckpointer()
-        self._last_saved: Optional[int] = None
+        self._ckpt = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._last_saved: Optional[int] = None   # fully committed
+        self._pending: Optional[int] = None      # async save in flight
 
     # -- paths --
     def _path(self, step: int) -> str:
@@ -39,7 +45,10 @@ class CheckpointManager:
             return steps
         for name in os.listdir(self.directory):
             m = re.match(r"^checkpoint-(\d+)$", name)
-            if m and os.path.isdir(os.path.join(self.directory, name)):
+            # a committed save has its final (renamed) "state" dir; a crash
+            # mid-async-write leaves only orbax tmp dirs -> not restorable
+            if m and os.path.isdir(os.path.join(self.directory, name,
+                                                "state")):
                 steps.append(int(m.group(1)))
         return sorted(steps)
 
@@ -55,33 +64,46 @@ class CheckpointManager:
     def should_save(self, step: int) -> bool:
         return step > 0 and step % self.checkpointing_steps == 0
 
+    def _commit_pending(self):
+        """Wait for the in-flight save (if any) and apply retention: once
+        the pending step is durable, the previously committed checkpoint is
+        deleted unless it is a milestone."""
+        self._ckpt.wait_until_finished()
+        if self._pending is None:
+            return
+        prev = self._last_saved
+        if prev is not None and prev != self._pending \
+                and not self.is_milestone(prev):
+            shutil.rmtree(self._path(prev), ignore_errors=True)
+        self._last_saved = self._pending
+        self._pending = None
+
     def save(self, step: int, state: Any, force: bool = False,
              modules: Optional[dict] = None) -> bool:
-        """Save the full train state; `modules` optionally adds per-module
-        parameter exports under checkpoint-N/modules/<name> (the reference's
-        dual-format policy: exact-resume state + inference module exports)."""
+        """Start an async save of the full train state; `modules` optionally
+        adds per-module parameter exports under checkpoint-N/modules/<name>
+        (the reference's dual-format policy: exact-resume state + inference
+        module exports).  Returns once the arrays are snapshotted — the
+        write continues in the background."""
         if not force and not self.should_save(step):
             return False
-        prev = self._last_saved
-        if prev is None:
+        if self._last_saved is None and self._pending is None:
             existing = self.existing_steps()
-            prev = existing[-1] if existing else None
-        self._ckpt.save(os.path.join(self._path(step), "state"), state,
-                        force=True)
+            self._last_saved = existing[-1] if existing else None
+        self._commit_pending()   # previous async save (usually already done)
+        self._ckpt.save(os.path.join(self._path(step), "state"),
+                        args=ocp.args.StandardSave(state), force=True)
         for name, tree in (modules or {}).items():
             self._ckpt.save(
-                os.path.join(self._path(step), "modules", name), tree,
-                force=True)
-        self._ckpt.wait_until_finished()
-        # retention: drop the previous checkpoint unless it is a milestone
-        if prev is not None and prev != step and not self.is_milestone(prev):
-            shutil.rmtree(self._path(prev), ignore_errors=True)
-        self._last_saved = step
+                os.path.join(self._path(step), "modules", name),
+                args=ocp.args.StandardSave(tree), force=True)
+        self._pending = step
         return True
 
     def restore(self, step: int, target: Any) -> Any:
+        self._ckpt.wait_until_finished()
         return self._ckpt.restore(os.path.join(self._path(step), "state"),
-                                  target=target)
+                                  args=ocp.args.StandardRestore(target))
 
     def restore_latest(self, target: Any) -> Optional[Any]:
         step = self.latest_step()
@@ -90,8 +112,11 @@ class CheckpointManager:
         return step, self.restore(step, target)
 
     def restore_module(self, step: int, name: str, target: Any) -> Any:
+        self._ckpt.wait_until_finished()
         return self._ckpt.restore(
-            os.path.join(self._path(step), "modules", name), target=target)
+            os.path.join(self._path(step), "modules", name),
+            args=ocp.args.StandardRestore(target))
 
     def close(self):
-        self._ckpt.wait_until_finished()
+        self._commit_pending()
+        self._ckpt.close()

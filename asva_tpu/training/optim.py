@@ -19,20 +19,46 @@ import jax
 import optax
 
 
-def trainable_mask(params: Any,
-                   patterns: Optional[Sequence[str]] = ("temp", "audio"),
-                   ) -> Any:
-    """True where any path segment contains one of `patterns`.
+# flax path segments corresponding 1:1 to the reference's "_temp"/"_audio"
+# torch module names (ff_spatio_audio_temp_transformer_3d.py:211-270
+# attn_audio/norm_audio/attn_temp/norm_temp/pos_embedding_temp, and
+# FFInflatedConv3d's conv_temp -> our temp_kernel/temp_bias leaves)
+TRAINABLE_SEGMENTS = frozenset({
+    "attn_audio", "norm_audio", "attn_temp", "norm_temp",
+    "pos_embedding_temp", "temp_kernel", "temp_bias",
+})
 
-    patterns=None marks everything trainable.
+
+def segments_for_trainable_modules(modules: Sequence[str]) -> frozenset:
+    """Translate the reference YAML's trainable_modules tokens (torch-name
+    substrings like "_temp"/"_audio") into our exact flax segment names."""
+    table = {
+        "_temp": ("attn_temp", "norm_temp", "pos_embedding_temp",
+                  "temp_kernel", "temp_bias"),
+        "_audio": ("attn_audio", "norm_audio"),
+    }
+    segs = set()
+    for m in modules:
+        segs |= set(table.get(m, (m,)))
+    return frozenset(segs)
+
+
+def trainable_mask(params: Any,
+                   segments: Optional[Sequence[str]] = None) -> Any:
+    """True where any FULL path segment is in `segments` (default:
+    TRAINABLE_SEGMENTS, the reference's trainable_modules=["_temp",
+    "_audio"] policy).  Exact segment matching — a future parameter whose
+    name merely *contains* "temp" cannot silently become trainable.
+
+    segments=() marks everything trainable.
     """
+    seg_set = TRAINABLE_SEGMENTS if segments is None else frozenset(segments)
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def is_trainable(path) -> bool:
-        if patterns is None:
+        if not seg_set:
             return True
-        segs = [getattr(k, "key", str(k)) for k in path]
-        return any(p in str(s) for s in segs for p in patterns)
+        return any(str(getattr(k, "key", k)) in seg_set for k in path)
 
     treedef = jax.tree.structure(params)
     return jax.tree.unflatten(treedef,

@@ -78,8 +78,12 @@ def main():
             audio_cond_drop_prob=cfg.audio_cond_drop_prob,
             loss_on_first_frame=cfg.loss_on_first_frame))
 
-    patterns = None if cfg.train_image_modules else cfg.trainable_modules
-    mask = trainable_mask(unet_params, patterns=patterns)
+    if cfg.train_image_modules:
+        mask = trainable_mask(unet_params, segments=())  # everything
+    else:
+        from asva_tpu.training.optim import segments_for_trainable_modules
+        mask = trainable_mask(
+            unet_params, segments_for_trainable_modules(cfg.trainable_modules))
     tx = build_optimizer(
         cfg.optim.learning_rate, mask=mask,
         max_grad_norm=cfg.optim.max_grad_norm,
@@ -176,18 +180,22 @@ def main():
                 if args.profile_dir and step == 15:
                     prof.__exit__(None, None, None)
                 if ckpt.should_save(step):
-                    ckpt.save(step, jax.device_get(state),
-                              modules={"unet": jax.device_get(state.params),
+                    # async: snapshots device arrays and returns; the write
+                    # overlaps subsequent train steps
+                    ckpt.save(step, state,
+                              modules={"unet": state.params,
                                        "audio_encoder": audio_params})
-                    log.info("saved checkpoint-%d", step)
+                    log.info("saving checkpoint-%d (async)", step)
                 if shutdown.requested:
                     log.info("shutdown requested: checkpointing at %d", step)
-                    ckpt.save(step, jax.device_get(state), force=True)
+                    ckpt.save(step, state, force=True)
+                    ckpt.close()   # block until durable before exiting
                     return
 
-    ckpt.save(step, jax.device_get(state), force=True,
-              modules={"unet": jax.device_get(state.params),
+    ckpt.save(step, state, force=True,
+              modules={"unet": state.params,
                        "audio_encoder": audio_params})
+    ckpt.close()
     log.info("done at step %d", step)
 
 

@@ -23,10 +23,12 @@ def main():
     p.add_argument("--video_fps", type=int, default=6)
     p.add_argument("--video_num_frames", type=int, default=12)
     p.add_argument("--max_examples", type=int, default=None)
-    p.add_argument("--shard", type=int, nargs=2, default=(0, 1),
+    p.add_argument("--shard", type=int, nargs=2, default=None,
                    metavar=("INDEX", "COUNT"),
-                   help="evaluate examples[INDEX::COUNT] (multi-host eval "
-                        "sharding; aggregate the printed counts offline)")
+                   help="evaluate examples[INDEX::COUNT]; defaults to "
+                        "(jax.process_index(), jax.process_count()) — "
+                        "results are all-gathered across processes with "
+                        "index dedup")
     args = p.parse_args()
 
     import jax
@@ -35,7 +37,13 @@ def main():
 
     from asva_tpu.data.multipair import MultiPairAVDataset
     from asva_tpu.ops.mel import waveform_to_mel
+    from asva_tpu.parallel.multihost import (gather_metric_records,
+                                             maybe_initialize_distributed)
     from asva_tpu.runtime import build_avsync_classifier
+
+    maybe_initialize_distributed()
+    if args.shard is None:
+        args.shard = (jax.process_index(), jax.process_count())
 
     wd = None
     if args.checkpoint_modules_dir:
@@ -65,7 +73,7 @@ def main():
     mels_fn = jax.jit(jax.vmap(waveform_to_mel))
 
     center = args.num_clips // 2
-    a2v_hits, v2a_hits, seen = [], [], set()
+    indices, hits, seen = [], [], set()
     n = min(len(ds), args.max_examples or len(ds))
     for i in range(args.shard[0], n, args.shard[1]):
         item = ds[i]
@@ -77,14 +85,19 @@ def main():
         scores = np.asarray(pair_scores(a_emb, v_emb))  # (a, v)
         a2v = int(np.argmax(scores[center]))
         v2a = int(np.argmax(scores[:, center]))
-        a2v_hits.append(abs(a2v - center) <= args.tolerance)
-        v2a_hits.append(abs(v2a - center) <= args.tolerance)
+        indices.append(item["index"])
+        hits.append((abs(a2v - center) <= args.tolerance,
+                     abs(v2a - center) <= args.tolerance))
         if (i + 1) % 50 == 0:
-            print(f"{i + 1}/{n}  A2V {np.mean(a2v_hits):.4f}  "
-                  f"V2A {np.mean(v2a_hits):.4f}")
+            acc = np.mean(hits, axis=0)
+            print(f"{i + 1}/{n}  A2V {acc[0]:.4f}  V2A {acc[1]:.4f}")
 
-    print(f"A2V sync acc: {float(np.mean(a2v_hits)):.4f}")
-    print(f"V2A sync acc: {float(np.mean(v2a_hits)):.4f}")
+    # cross-process all-gather + index dedup (reference avsync_eval:150-167)
+    _, merged = gather_metric_records(np.asarray(indices, np.int64),
+                                      np.asarray(hits, np.float64))
+    acc = merged.mean(axis=0)
+    print(f"A2V sync acc: {float(acc[0]):.4f} over {len(merged)} examples")
+    print(f"V2A sync acc: {float(acc[1]):.4f}")
 
 
 if __name__ == "__main__":

@@ -132,15 +132,14 @@ def main():
                 if cfg.test_steps and step % cfg.test_steps == 0:
                     evaluate(trainer, state, test_loader, mels_fn, log)
                 if ckpt.should_save(step):
-                    st = jax.device_get(state)
-                    ckpt.save(step, st, modules={
-                        "classifier": {"params": st.params,
-                                       "batch_stats": st.batch_stats}})
-                    log.info("saved checkpoint-%d", step)
-    st = jax.device_get(state)
-    ckpt.save(step, st, force=True, modules={
-        "classifier": {"params": st.params,
-                       "batch_stats": st.batch_stats}})
+                    ckpt.save(step, state, modules={
+                        "classifier": {"params": state.params,
+                                       "batch_stats": state.batch_stats}})
+                    log.info("saving checkpoint-%d (async)", step)
+    ckpt.save(step, state, force=True, modules={
+        "classifier": {"params": state.params,
+                       "batch_stats": state.batch_stats}})
+    ckpt.close()
 
 
 def evaluate(trainer, state, test_loader, mels_fn, log, max_batches=50):

@@ -87,3 +87,86 @@ def test_segmask_encoder_shapes(rng):
     cls_n, _, _ = enc.apply(params, mel, normalize=True)
     np.testing.assert_allclose(np.asarray(jnp.linalg.norm(cls_n, axis=-1)),
                                20.0, rtol=1e-4)
+
+
+def test_fbank_matches_independent_slow_implementation():
+    """Cross-check ops/mel.fbank against a per-frame loop implementation
+    written directly from the Kaldi/torchaudio spec (scipy window, explicit
+    mel-bank construction).  torchaudio is absent in this image; regenerate
+    bit-true goldens with tools/make_mel_goldens.py where it exists."""
+    import numpy as np
+    from scipy.signal import get_window
+    from asva_tpu.ops.mel import MEL_EPS, fbank
+
+    rng = np.random.default_rng(7)
+    sr, n = 16000, 32000
+    t = np.arange(n) / sr
+    waves = [
+        rng.standard_normal(n).astype(np.float32) * 0.1,
+        (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 3200 * t)).astype(np.float32),
+        np.clip(rng.standard_normal(n).cumsum() * 1e-3, -1, 1).astype(
+            np.float32),
+    ]
+
+    def slow_fbank(wave, num_bins=128):
+        win, shift, padded = 400, 160, 512
+        # sym (periodic=False) hann, matching torch.hann_window(periodic=0)
+        window = get_window("hann", win, fftbins=False)
+        m = 1 + (len(wave) - win) // shift
+        # Kaldi mel bank, built bin-by-bin (independent code path)
+        def mel(f):
+            return 1127.0 * np.log(1.0 + f / 700.0)
+        lo, hi = mel(20.0), mel(sr / 2)
+        delta = (hi - lo) / (num_bins + 1)
+        n_fft_bins = padded // 2
+        fft_freqs = np.arange(n_fft_bins) * sr / padded
+        bank = np.zeros((num_bins, n_fft_bins + 1))
+        for b in range(num_bins):
+            l, c, r = lo + b * delta, lo + (b + 1) * delta, lo + (b + 2) * delta
+            for k in range(n_fft_bins):
+                fm = mel(fft_freqs[k])
+                if l < fm < r:
+                    bank[b, k] = ((fm - l) / (c - l) if fm <= c
+                                  else (r - fm) / (r - c))
+        out = np.zeros((m, num_bins))
+        for i in range(m):
+            fr = wave[i * shift:i * shift + win].astype(np.float64)
+            fr = fr - fr.mean()
+            fr = np.concatenate([fr[:1], fr])  # replicate-pad for preemph
+            fr = fr[1:] - 0.97 * fr[:-1]
+            fr = fr * window
+            spec = np.abs(np.fft.rfft(fr, padded)) ** 2
+            out[i] = np.log(np.maximum(spec @ bank.T, MEL_EPS))
+        return out
+
+    for wave in waves:
+        got = np.asarray(fbank(wave))
+        want = slow_fbank(wave)
+        assert got.shape == want.shape == (198, 128)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fbank_matches_torchaudio_goldens_if_present():
+    """Bit-true check against recorded torchaudio outputs.  The fixture is
+    generated by tools/make_mel_goldens.py in an env that has torchaudio;
+    skipped (NOT silently passed) when absent from this image."""
+    import os
+    import numpy as np
+    import pytest
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "mel_goldens.npz")
+    if not os.path.isfile(path):
+        pytest.skip("mel_goldens.npz not generated (torchaudio absent here); "
+                    "run tools/make_mel_goldens.py where torchaudio exists")
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_mel_goldens import golden_waveforms
+    from asva_tpu.ops.mel import fbank
+    goldens = np.load(path)
+    sr, waves = golden_waveforms()
+    for name, wave in waves.items():
+        got = np.asarray(fbank(wave, sample_rate=sr))
+        want = goldens[name]
+        assert got.shape == want.shape, name
+        assert np.abs(got - want).max() < 1e-4, name
