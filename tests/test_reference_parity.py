@@ -155,3 +155,146 @@ def test_reference_unet_parity_with_gathered_audio(reference_unet_module,
                       jnp.asarray(audio), None, idx)
     out = np.asarray(out).transpose(0, 4, 1, 2, 3)
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-3)
+
+
+def _torch_denoise_loop(tmodel, latents0, text, audio, masks, alphas_cumprod,
+                        num_steps, audio_gs, kind):
+    """Reference-semantics multi-step denoise in torch, written directly
+    from the reference pipeline (__call__ :330-365) and diffusers'
+    DDIM/PNDM step equations (independent of asva_tpu.diffusion.samplers):
+      * 2-way CFG batch [text, text+audio]; eps = e_t + ag*(e_ta - e_t),
+      * scheduler step applied to frames 1..f-1 only; frame 0 pinned,
+      * DDIM eta=0; PNDM skip_prk (PLMS) with the diffusers counter/ets
+        state machine and duplicated second timestep, steps_offset=1.
+    """
+    ratio = 1000 // num_steps
+    base = (np.arange(0, num_steps) * ratio).round().astype(np.int64) + 1
+    if kind == "ddim":
+        timesteps = list(base[::-1])
+    else:  # PNDM skip_prk: duplicate the second-to-last entry
+        ts = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1]
+        timesteps = list(ts)
+
+    ac = torch.from_numpy(alphas_cumprod.astype(np.float64))
+    final_alpha = ac[0]
+
+    def alpha(t):
+        return ac[t] if t >= 0 else final_alpha
+
+    x = torch.from_numpy(np.asarray(latents0)).clone()
+    b, f = x.shape[:2]
+    text_t = torch.from_numpy(text)[:, None].repeat(1, f, 1, 1)
+    audio_t = torch.from_numpy(audio)[:, None].repeat(1, f, 1, 1)
+    null_audio_t = torch.zeros_like(audio_t)
+    mask_t = torch.from_numpy(masks)
+
+    def unet_eps(x_in, t):
+        xx = torch.cat([x_in, x_in]).permute(0, 4, 1, 2, 3)  # torch (b,c,f..)
+        with torch.no_grad():
+            out = tmodel(
+                xx, t,
+                encoder_hidden_states=torch.cat([text_t, text_t]),
+                audio_encoder_hidden_states=torch.cat([null_audio_t,
+                                                       audio_t]),
+                audio_attention_mask=torch.cat([mask_t, mask_t]),
+            ).sample.permute(0, 2, 3, 4, 1)
+        e_t, e_ta = out.chunk(2)
+        return e_t + audio_gs * (e_ta - e_t)
+
+    ets, counter, cur_sample = [], 0, None
+    for t in timesteps:
+        eps_full = unet_eps(x, int(t))
+        e = eps_full[:, 1:].double()          # frame-0 pinned
+        sample = x[:, 1:].double()
+        t_step = int(t)
+        prev_t = t_step - ratio
+        if kind == "ddim":
+            a_t, a_prev = alpha(t_step), alpha(prev_t)
+            x0 = (sample - (1 - a_t).sqrt() * e) / a_t.sqrt()
+            prev = a_prev.sqrt() * x0 + (1 - a_prev).sqrt() * e
+        else:
+            if counter != 1:
+                ets = ets[-3:] + [e]
+            else:
+                prev_t = t_step
+                t_step = t_step + ratio
+            if len(ets) == 1 and counter == 0:
+                model_output = e
+                cur_sample = sample
+            elif len(ets) == 1 and counter == 1:
+                model_output = (e + ets[-1]) / 2
+                sample, cur_sample = cur_sample, None
+            elif len(ets) == 2:
+                model_output = (3 * ets[-1] - ets[-2]) / 2
+            elif len(ets) == 3:
+                model_output = (23 * ets[-1] - 16 * ets[-2]
+                                + 5 * ets[-3]) / 12
+            else:
+                model_output = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3]
+                                - 9 * ets[-4]) / 24
+            a_t, a_prev = alpha(t_step), alpha(prev_t)
+            sample_coeff = (a_prev / a_t) ** 0.5
+            denom = (a_t * (1 - a_prev).sqrt()
+                     + (a_t * (1 - a_t) * a_prev).sqrt())
+            prev = (sample_coeff * sample
+                    - (a_prev - a_t) * model_output / denom)
+            counter += 1
+        x = torch.cat([x[:, :1], prev.float()], dim=1)
+    return x.numpy()
+
+
+@pytest.mark.parametrize("kind", ["ddim", "plms"])
+def test_fixed_seed_generation_parity(reference_unet_module, rng, kind):
+    """End-to-end denoise-loop parity: our jitted scan program (CFG stack +
+    sampler + frame-0 pin, pipelines/animation.py) vs an independent torch
+    loop around the reference UNet source.  This is the strongest available
+    stand-in for the real-checkpoint latent-MSE check (no published weights
+    in this sandbox)."""
+    import jax
+    from asva_tpu.convert import convert_state_dict, unet_key_map
+    from asva_tpu.diffusion.schedules import DiffusionSchedule
+    from asva_tpu.models.imagebind_audio import (segment_masks,
+                                                 segment_token_indices)
+    from asva_tpu.models.unet3d import AudioUNet3D, UNet3DConfig
+    from asva_tpu.pipelines.animation import AnimationPipeline
+
+    tmodel = _tiny_torch_unet(reference_unet_module, seed=3)
+    b, f, hw, n_aud, steps, ag = 1, 3, 16, 229, 5, 4.0
+
+    cfg = UNet3DConfig(
+        down_block_types=("FFSpatioAudioTempCrossAttnDownBlock3D",
+                          "FFSpatioTempResDownBlock3D"),
+        up_block_types=("FFSpatioTempResUpBlock3D",
+                        "FFSpatioAudioTempCrossAttnUpBlock3D"),
+        block_out_channels=(32, 64), layers_per_block=1, norm_num_groups=8,
+        attention_head_dim=2)
+    model = AudioUNet3D(cfg)
+    fresh = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((b, f, hw, hw, 4)), jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b, 7, 768)), jnp.zeros((b, n_aud, 768)),
+        jnp.ones((b, f, n_aud), bool))
+    state = {k: v.float().numpy() for k, v in tmodel.state_dict().items()}
+    params, report = convert_state_dict(fresh, state, unet_key_map)
+    assert not report["fresh"]
+
+    latents0 = rng.standard_normal((b, f, hw, hw, 4)).astype(np.float32)
+    text = rng.standard_normal((b, 7, 768)).astype(np.float32)
+    audio = rng.standard_normal((b, n_aud, 768)).astype(np.float32)
+    masks = np.repeat(segment_masks(f, (12, 19))[None], b, axis=0)
+
+    schedule = DiffusionSchedule()
+    ref = _torch_denoise_loop(tmodel, latents0, text, audio, masks,
+                              np.asarray(schedule.alphas_cumprod),
+                              steps, ag, kind)
+
+    pipe = AnimationPipeline(unet=model, vae=None, audio_encoder=None,
+                             unet_params=params, vae_params=None,
+                             audio_encoder_params=None, schedule=schedule)
+    program = pipe._denoise_program(steps, kind, 1.0, ag)
+    token_idx = jnp.asarray(segment_token_indices(f, (12, 19)))
+    ours = program(params, jnp.asarray(latents0), jnp.asarray(text),
+                   jnp.zeros_like(jnp.asarray(text[:1])),
+                   jnp.asarray(audio), jnp.zeros((1, n_aud, 768)),
+                   token_idx)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-3, rtol=2e-3)
