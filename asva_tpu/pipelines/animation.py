@@ -90,15 +90,26 @@ class AnimationPipeline:
         enc, masks = self._encode_audio(self.audio_encoder_params, mels)
         return enc, masks, self.null_audio_encoding()
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _encode_image(self, vae_params, images: jnp.ndarray, rng: jax.Array):
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _encode_image(self, vae_params, images: jnp.ndarray, rng: jax.Array,
+                      broadcast: bool = False):
         images = images * 2.0 - 1.0
-        return self.vae.apply(vae_params, images, rng,
-                              method=self.vae.sample_latents)
+        if not broadcast:
+            return self.vae.apply(vae_params, images, rng,
+                                  method=self.vae.sample_latents)
+        # broadcast_rng: one noise draw shared by every batch element —
+        # bit-identical to generating each clip separately with the same
+        # seed (the reference re-seeds its generator per clip, :432-433)
+        mean, logvar = self.vae.apply(vae_params, images,
+                                      method=self.vae.encode)
+        noise = jax.random.normal(rng, (1,) + mean.shape[1:], mean.dtype)
+        z = mean + jnp.exp(0.5 * logvar) * noise
+        return z * self.vae.config.scaling_factor
 
-    def encode_image(self, images: jnp.ndarray, rng: jax.Array):
+    def encode_image(self, images: jnp.ndarray, rng: jax.Array,
+                     broadcast: bool = False):
         """images (b, h, w, 3) in [0,1] -> sampled scaled latents."""
-        return self._encode_image(self.vae_params, images, rng)
+        return self._encode_image(self.vae_params, images, rng, broadcast)
 
     # ---------------- denoise program ----------------
 
@@ -189,16 +200,25 @@ class AnimationPipeline:
         sampler: str = "plms",
         rng: Optional[jax.Array] = None,
         decode: bool = True,
+        broadcast_rng: bool = False,
     ):
+        """broadcast_rng: draw the VAE-sampling and init-latent noise ONCE
+        (batch 1) and share it across the batch — a batched call is then
+        bit-identical to per-clip calls with the same seed, so the dataset
+        sweep can batch clips without changing the eval protocol."""
         rng = jax.random.PRNGKey(0) if rng is None else rng
         rng_vae, rng_noise = jax.random.split(rng)
 
         images, audio_mels, text_encodings = self._shard_batch(
             (images, audio_mels, text_encodings))
-        image_latents = self.encode_image(images, rng_vae)  # (b, hh, ww, 4)
+        image_latents = self.encode_image(images, rng_vae,
+                                          broadcast=broadcast_rng)
         b, hh, ww, c = image_latents.shape
+        nb = 1 if broadcast_rng else b
         noise = jax.random.normal(
-            rng_noise, (b, video_length - 1, hh, ww, c), image_latents.dtype)
+            rng_noise, (nb, video_length - 1, hh, ww, c),
+            image_latents.dtype)
+        noise = jnp.broadcast_to(noise, (b,) + noise.shape[1:])
         latents = jnp.concatenate([image_latents[:, None], noise], axis=1)
 
         audio_ctx, audio_masks, null_audio_ctx = self.encode_audio(audio_mels)

@@ -104,7 +104,11 @@ def generate_videos(
     seed: int = 0,
     save_template: str = "",
     sampler: str = "plms",
+    batch_clips: bool = True,
 ):
+    """batch_clips=True generates all clips of a video in ONE pipeline call
+    (broadcast_rng makes this bit-identical to the reference's per-clip
+    re-seeded loop) — the TPU-efficient default for dataset sweeps."""
     assert not (image_path and audio_path and video_path), \
         "specify at most two of image/audio/video paths"
     clip_duration = video_num_frame / video_fps
@@ -130,17 +134,7 @@ def generate_videos(
         text_enc = jnp.asarray(category_text_encoding,
                                jnp.float32).reshape(1, 77, 768)
 
-    results = []
-    for k, (image, audio) in enumerate(zip(images, audios)):
-        mel = waveform_to_mel(jnp.asarray(audio))[None]
-        video = pipeline(
-            jnp.asarray(image)[None], mel, text_enc,
-            video_length=video_num_frame,
-            num_inference_steps=num_inference_steps,
-            audio_guidance_scale=audio_guidance_scale,
-            text_guidance_scale=text_guidance_scale,
-            sampler=sampler,
-            rng=jax.random.PRNGKey(seed))[0]  # (f, h, w, 3) [0,1]
+    def emit(k, video, audio):
         frames = np.asarray(
             jnp.clip(video * 255.0, 0, 255).astype(jnp.uint8))
         if save_template:
@@ -148,6 +142,34 @@ def generate_videos(
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             write_video(path, frames, video_fps,
                         np.asarray(audio)[None], 16000)
-        else:
-            results.append((frames, audio))
+            return None
+        return (frames, audio)
+
+    results = []
+    if batch_clips:
+        mels = jnp.stack([waveform_to_mel(jnp.asarray(a)) for a in audios])
+        videos = pipeline(
+            jnp.stack([jnp.asarray(im) for im in images]), mels,
+            jnp.broadcast_to(text_enc, (len(images),) + text_enc.shape[1:]),
+            video_length=video_num_frame,
+            num_inference_steps=num_inference_steps,
+            audio_guidance_scale=audio_guidance_scale,
+            text_guidance_scale=text_guidance_scale,
+            sampler=sampler, rng=jax.random.PRNGKey(seed),
+            broadcast_rng=True)
+        for k, audio in enumerate(audios):
+            results.append(emit(k, videos[k], audio))
+    else:
+        for k, (image, audio) in enumerate(zip(images, audios)):
+            mel = waveform_to_mel(jnp.asarray(audio))[None]
+            video = pipeline(
+                jnp.asarray(image)[None], mel, text_enc,
+                video_length=video_num_frame,
+                num_inference_steps=num_inference_steps,
+                audio_guidance_scale=audio_guidance_scale,
+                text_guidance_scale=text_guidance_scale,
+                sampler=sampler,
+                rng=jax.random.PRNGKey(seed))[0]  # (f, h, w, 3) [0,1]
+            results.append(emit(k, video, audio))
+    results = [r for r in results if r is not None]
     return results or None

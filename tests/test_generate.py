@@ -91,3 +91,25 @@ def test_generate_videos_from_video(tiny_pipeline, tmp_path):
     gen_frames, gen_audio = out[0]
     assert gen_frames.shape == (f, 16, 16, 3)
     assert gen_frames.dtype == np.uint8
+
+
+def test_batched_generation_bit_matches_per_clip(tiny_pipeline, rng):
+    """batch_clips / broadcast_rng must reproduce the per-clip re-seeded
+    protocol exactly (same noise per clip, reference :432-433)."""
+    pipeline, f = tiny_pipeline
+    b = 3
+    images = jnp.asarray(rng.random((b, 16, 16, 3)), jnp.float32)
+    mels = jnp.asarray(rng.standard_normal((b, 128, 204, 1)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((b, 77, 768)), jnp.float32)
+
+    batched = pipeline(images, mels, text, video_length=f,
+                       num_inference_steps=2, audio_guidance_scale=4.0,
+                       sampler="ddim", rng=jax.random.PRNGKey(7),
+                       broadcast_rng=True)
+    for k in range(b):
+        single = pipeline(images[k:k + 1], mels[k:k + 1], text[k:k + 1],
+                          video_length=f, num_inference_steps=2,
+                          audio_guidance_scale=4.0, sampler="ddim",
+                          rng=jax.random.PRNGKey(7), broadcast_rng=True)
+        np.testing.assert_allclose(np.asarray(batched[k]),
+                                   np.asarray(single[0]), atol=1e-5)
