@@ -194,6 +194,7 @@ def load_animation_pipeline(
         "pretrained/openai-clip-l_null_text_encoding.pt",
     n_segment: int = 12,
     dtype=jnp.bfloat16,
+    param_dtype=jnp.bfloat16,   # inference weights; None keeps fp32
     unet_config: UNet3DConfig = UNet3DConfig(),
 ) -> AnimationPipeline:
     unet_dir = (os.path.join(checkpoint_modules_dir, "unet")
@@ -207,6 +208,11 @@ def load_animation_pipeline(
                                    video_length=n_segment)
     vae, vae_params = build_vae(dtype, vae_dir)
     audio_enc, audio_params = build_audio_encoder(n_segment, dtype, audio_dir)
+    if param_dtype is not None:
+        from .utils import cast_floating
+        unet_params, vae_params, audio_params = (
+            cast_floating(t, param_dtype)
+            for t in (unet_params, vae_params, audio_params))
     return AnimationPipeline(
         unet=unet, vae=vae, audio_encoder=audio_enc,
         unet_params=unet_params, vae_params=vae_params,

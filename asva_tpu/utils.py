@@ -79,3 +79,20 @@ def setup_logging(log_file: Optional[str] = None,
             fh.setFormatter(fmt)
             logger.addHandler(fh)
     return logger
+
+
+def cast_floating(tree, dtype):
+    """Cast every floating-point leaf to `dtype` (e.g. bf16 inference
+    weights — halves HBM weight traffic on the bandwidth-bound UNet eval;
+    the reference runs the whole model fp16 at inference,
+    pipeline_audio_cond_animation.py:484).  Integer/bool leaves pass
+    through."""
+    import jax
+    import jax.numpy as jnp
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, tree)

@@ -119,7 +119,10 @@ def main():
     STEPS = 25
     F = 12              # frames; 256x256 pixels -> 32x32 latents
     AG = 4.0            # audio guidance (text guidance 1.0) -> k=2
-    BATCHES = (1, 2, 4)
+    # batch 1 is the per-clip optimum on v5e-1 (r2 sweep: b1=0.606 >
+    # b2=0.583 > b4=0.552 clips/s; the UNet already sees batch 24 of
+    # frame-slices) — pass --sweep to re-measure all three
+    BATCHES = (1, 2, 4) if "--sweep" in sys.argv else (1,)
 
     dtype = jnp.bfloat16
     unet = AudioUNet3D(UNet3DConfig(), dtype=dtype)
@@ -138,11 +141,16 @@ def main():
     text = jnp.zeros((1, 77, 768), dtype)
     audio = jnp.zeros((1, 229, 768), dtype)
     mask = jnp.ones((1, F, 229), bool)
-    unet_params = make_params(unet, sample, t0, text, audio, mask)
-    vae_params = make_params(vae, jnp.zeros((1, 256, 256, 3), dtype),
-                             jax.random.PRNGKey(1), seed=1)
-    audio_params = make_params(
-        audio_enc, jnp.zeros((1, 128, 204, 1), dtype), seed=2)
+    from asva_tpu.utils import cast_floating
+    # bf16 inference weights (reference runs fp16): halves weight HBM
+    # traffic on the bandwidth-bound UNet eval
+    unet_params = cast_floating(
+        make_params(unet, sample, t0, text, audio, mask), dtype)
+    vae_params = cast_floating(
+        make_params(vae, jnp.zeros((1, 256, 256, 3), dtype),
+                    jax.random.PRNGKey(1), seed=1), dtype)
+    audio_params = cast_floating(make_params(
+        audio_enc, jnp.zeros((1, 128, 204, 1), dtype), seed=2), dtype)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(unet_params))
 

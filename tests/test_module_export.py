@@ -51,6 +51,7 @@ def test_train_export_reload_generate(tmp_path, rng):
     mgr = CheckpointManager(str(tmp_path), 1)
     mgr.save(2, jax.device_get(state), force=True,
              modules={"unet": jax.device_get(state.params)})
+    mgr.close()   # async save: block until committed
 
     mdir = os.path.join(str(tmp_path), "checkpoint-2", "modules", "unet")
     assert _is_orbax_dir(mdir)
