@@ -77,6 +77,7 @@ class OptimConfig:
 class AnimationJobConfig:
     output_dir: str = "exps/run"
     seed: int = 123
+    log_with: str = ""          # "wandb" mirrors metrics (exp.log_with)
     batch_size: int = 4
     log_steps: int = 10
     unet: UNet3DConfig = UNet3DConfig()
@@ -122,6 +123,7 @@ class AnimationJobConfig:
         return cls(
             output_dir=exp.get("output_dir", "exps/run"),
             seed=exp.get("seed", 123),
+            log_with=exp.get("log_with", "") or "",
             batch_size=train.get("batch_size", 4),
             log_steps=train.get("log_steps", 10),
             unet=UNet3DConfig(**unet_kwargs),

@@ -19,18 +19,40 @@ from typing import Optional
 
 
 class MetricsLogger:
-    def __init__(self, path: str):
+    """JSONL metrics sink, with optional wandb mirroring (the reference
+    logs through accelerate's wandb tracker, scripts/animation_train.py:60;
+    here log_with="wandb" mirrors every record when wandb is importable
+    and degrades to JSONL-only with a warning otherwise)."""
+
+    def __init__(self, path: str, log_with: Optional[str] = None,
+                 run_name: Optional[str] = None, config: Optional[dict] = None):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._f = open(path, "a", buffering=1)
+        self._wandb = None
+        if log_with == "wandb":
+            try:
+                import wandb
+                self._wandb = wandb.init(project="asva_tpu", name=run_name,
+                                         config=config or {})
+            except Exception as e:  # wandb absent / offline: JSONL still on
+                import logging
+                logging.getLogger("asva_tpu").warning(
+                    "wandb logging requested but unavailable (%s); "
+                    "JSONL only", e)
 
     def log(self, step: int, **metrics):
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: (float(v) if hasattr(v, "__float__") else v)
                     for k, v in metrics.items()})
         self._f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in rec.items()
+                             if k not in ("step", "time")}, step=int(step))
 
     def close(self):
         self._f.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 @contextlib.contextmanager

@@ -33,13 +33,13 @@ def segments_for_trainable_modules(modules: Sequence[str]) -> frozenset:
     """Translate the reference YAML's trainable_modules tokens (torch-name
     substrings like "_temp"/"_audio") into our exact flax segment names."""
     table = {
-        "_temp": ("attn_temp", "norm_temp", "pos_embedding_temp",
-                  "temp_kernel", "temp_bias"),
-        "_audio": ("attn_audio", "norm_audio"),
+        "temp": ("attn_temp", "norm_temp", "pos_embedding_temp",
+                 "temp_kernel", "temp_bias"),
+        "audio": ("attn_audio", "norm_audio"),
     }
     segs = set()
     for m in modules:
-        segs |= set(table.get(m, (m,)))
+        segs |= set(table.get(m.strip("_"), (m,)))
     return frozenset(segs)
 
 

@@ -132,7 +132,9 @@ def main():
 
     rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
     meter, timer = AverageMeter(window=cfg.log_steps), StepTimer()
-    metrics = MetricsLogger(os.path.join(cfg.output_dir, "metrics.jsonl"))
+    metrics = MetricsLogger(os.path.join(cfg.output_dir, "metrics.jsonl"),
+                        log_with=cfg.log_with,
+                        run_name=os.path.basename(cfg.output_dir))
     shutdown = GracefulShutdown()
     bshard = batch_sharding(mesh)
     step = int(state.step)

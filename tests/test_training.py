@@ -108,3 +108,38 @@ def test_loss_decreases_on_fixed_batch(rng):
         state, loss = step(state, batch, fixed_rng)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_trainable_mask_config_tokens_select_expected_segments():
+    """The YAML trainable_modules tokens (with or without underscores) must
+    map to exactly the reference's _temp/_audio parameter set — and never
+    an empty set (a silent freeze-everything regression)."""
+    import jax
+    import jax.numpy as jnp
+    from asva_tpu.models.unet3d import AudioUNet3D, UNet3DConfig
+    from asva_tpu.training.optim import (segments_for_trainable_modules,
+                                         trainable_mask)
+
+    model = AudioUNet3D(UNet3DConfig.tiny())
+    f = 3
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, f, 8, 8, 4)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 5, 768)),
+        jnp.zeros((1, 9, 768)), jnp.ones((1, f, 9), bool))
+    for tokens in (("temp", "audio"), ("_temp", "_audio")):
+        mask = trainable_mask(params,
+                              segments_for_trainable_modules(tokens))
+        flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+        on = [".".join(str(getattr(k, "key", k)) for k in p)
+              for p, v in flat if v]
+        off = [".".join(str(getattr(k, "key", k)) for k in p)
+               for p, v in flat if not v]
+        assert on, "nothing trainable — config token mapping broken"
+        for path in on:
+            assert any(s in path for s in
+                       ("attn_temp", "norm_temp", "pos_embedding_temp",
+                        "temp_kernel", "temp_bias", "attn_audio",
+                        "norm_audio")), path
+        # the grafted image modules stay frozen
+        assert any("attn1" in p for p in off)
+        assert any("conv_in.conv" in p for p in off)

@@ -1,8 +1,14 @@
-"""Per-component timing of AVSyncD UNet ops at real shapes (run on TPU).
+"""Per-component cost profile of AVSyncD UNet ops at real shapes.
 
-Identifies where the denoise-step time goes, to target Pallas work:
-each attention flavor and the FF conv at every UNet resolution, plus the
-full UNet forward for reference.
+Reports, for each module at each UNet resolution, the XLA-compiled
+cost_analysis (flops / HBM bytes accessed) plus wall time.  On a
+remote-tunnel device the wall times of sub-millisecond modules measure
+dispatch latency, not kernels — the bytes column is the trustworthy
+signal there (the UNet eval is bandwidth-bound: r2 measured 4.79 TF vs
+52 GB accessed per batch-2 eval, ~66% of the HBM roofline).
+
+Run: python tools/profile_components.py [--full]  (--full adds the whole
+UNet forward; ~10 min first compile through the axon tunnel).
 """
 import os
 import sys
@@ -14,66 +20,71 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from asva_tpu.models.unet3d.primitives import (CrossAttention,
-                                               FFInflatedConv,
-                                               FFSpatialAttention,
-                                               TemporalAttention)
-
 B, F = 2, 12  # CFG pair
 DTYPE = jnp.bfloat16
 
 
-def bench(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def _materialize(tree_shapes, seed=0):
+    from __graft_entry__ import _materialize as m
+    return m(tree_shapes, seed=seed)
+
+
+def analyze(name, mod, *args, n=10):
+    params = _materialize(jax.eval_shape(
+        lambda: mod.init(jax.random.PRNGKey(0), *args)))
+    comp = jax.jit(lambda p, *a: mod.apply(p, *a)).lower(
+        params, *args).compile()
+    ca = comp.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    jax.block_until_ready(comp(params, *args))
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
+        out = comp(params, *args)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3  # ms
+    dt = (time.perf_counter() - t0) / n * 1e3
+    flops = ca.get("flops", 0.0)
+    byts = ca.get("bytes accessed", 0.0)
+    print(f"{name:34s} flops {flops/1e9:8.1f}G  bytes {byts/1e9:7.3f}GB  "
+          f"bw-bound {byts/819e9*1e3:6.2f}ms  wall {dt:7.2f}ms")
+    return byts
 
 
 def main():
+    from asva_tpu.models.imagebind_audio import segment_token_indices
+    from asva_tpu.models.unet3d.resnet import FFResnetBlock
+    from asva_tpu.models.unet3d.transformer import SpatioAudioTempTransformer3D
+
     rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(0)
     print(f"device: {jax.devices()[0]}")
+    token_idx = jnp.asarray(segment_token_indices(F, (12, 19)))
+    text = jnp.asarray(rng.standard_normal((B, 77, 768)), DTYPE)
+    audio = jnp.asarray(rng.standard_normal((B, 229, 768)), DTYPE)
 
-    # (channels, spatial, heads, per-step invocations down+up+mid)
-    levels = [(320, 32, 8, 2 + 3), (640, 16, 8, 2 + 3),
-              (1280, 8, 8, 2 + 3 + 1)]
-    total = {"spatial": 0.0, "audio": 0.0, "temporal": 0.0, "conv": 0.0}
+    # (channels, spatial, heads, transformer+resnet instances down/up/mid)
+    levels = [(320, 32, 8, 5), (640, 16, 8, 5), (1280, 8, 8, 6)]
+    total = 0.0
     for c, s, h, count in levels:
-        n = s * s
-        x = jnp.asarray(rng.standard_normal((B, F, n, c)), DTYPE)
-        xs = jnp.asarray(rng.standard_normal((B, F, s, s, c)), DTYPE)
-        audio = jnp.asarray(rng.standard_normal((B, 229, 768)), DTYPE)
-        mask = jnp.asarray(rng.random((B, F, 229)) > 0.3)
+        x = jnp.asarray(rng.standard_normal((B, F, s, s, c)), DTYPE)
+        tr = SpatioAudioTempTransformer3D(h, c // h, num_layers=1,
+                                          norm_num_groups=32, dtype=DTYPE)
+        total += count * analyze(
+            f"transformer c{c} {s}x{s} (x{count})", tr, x, text, audio,
+            None, token_idx)
+        rn = FFResnetBlock(c, dtype=DTYPE)
+        temb = jnp.asarray(rng.standard_normal((B, F, 1280)), DTYPE)
+        total += count * analyze(f"resnet      c{c} {s}x{s} (x{count})",
+                                 rn, x, temb)
+    print(f"approx whole-eval bytes from parts: {total/1e9:.1f}GB "
+          f"(r2 full-UNet cost_analysis: 52.1GB)")
 
-        sp = FFSpatialAttention(h, c // h, dtype=DTYPE)
-        p1 = sp.init(key, x)
-        t_sp = bench(jax.jit(lambda p, v: sp.apply(p, v)), p1, x)
-
-        ca = CrossAttention(h, c // h, dtype=DTYPE)
-        p2 = ca.init(key, x, audio, mask)
-        t_au = bench(jax.jit(lambda p, v: ca.apply(p, v, audio, mask)), p2, x)
-
-        ta = TemporalAttention(h, c // h, dtype=DTYPE)
-        p3 = ta.init(key, x)
-        t_tp = bench(jax.jit(lambda p, v: ta.apply(p, v)), p3, x)
-
-        cv = FFInflatedConv(c, 3, 1, 1, dtype=DTYPE)
-        p4 = cv.init(key, xs)
-        t_cv = bench(jax.jit(lambda p, v: cv.apply(p, v)), p4, xs)
-
-        print(f"c={c:4d} n={n:4d}: spatial {t_sp:6.2f}ms  audio {t_au:6.2f}ms"
-              f"  temporal {t_tp:6.2f}ms  ffconv {t_cv:6.2f}ms  x{count}")
-        total["spatial"] += t_sp * count
-        total["audio"] += t_au * count
-        total["temporal"] += t_tp * count
-        total["conv"] += t_cv * count * 2  # ~2 convs per resnet
-
-    print("per-UNet-eval attention/conv estimate (ms):",
-          {k: round(v, 1) for k, v in total.items()})
+    if "--full" in sys.argv:
+        from asva_tpu.models.unet3d import AudioUNet3D, UNet3DConfig
+        unet = AudioUNet3D(UNet3DConfig(), dtype=DTYPE)
+        sample = jnp.asarray(rng.standard_normal((B, F, 32, 32, 4)), DTYPE)
+        t = jnp.zeros((B,), jnp.int32)
+        analyze("FULL UNet eval (batch 2)", unet, sample, t, text, audio,
+                None, token_idx, n=5)
 
 
 if __name__ == "__main__":
