@@ -74,7 +74,11 @@ def bench_train():
     tx = build_optimizer(1e-4, mask=mask)
     state = TrainState(jnp.zeros((), jnp.int32), unet_params,
                        tx.init(unet_params))
-    step = trainer.make_train_step(tx, donate=False)
+    # donate: the old state is freed as the new one is produced — without
+    # it both 4.7 GB param buffers are live and the step can OOM *silently*
+    # (an errored buffer chain then "completes" instantly and the bench
+    # reports garbage; materializing float(loss) below surfaces the error)
+    step = trainer.make_train_step(tx, donate=True)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -86,13 +90,15 @@ def bench_train():
                                       dtype=jnp.float32),
     }
     state, loss = step(state, batch, jax.random.PRNGKey(0))
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    n = 5
-    for i in range(n):
+    assert np.isfinite(float(loss)), float(loss)  # forces completion
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
         state, loss = step(state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(loss)
-    sps = n / (time.perf_counter() - t0)
+        lf = float(loss)   # blocks on the whole chained step; raises on OOM
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(lf), lf
+    sps = 1.0 / min(times)
     print(json.dumps({
         "metric": f"AVSyncD train steps/sec/chip (batch {B}, 12x256^2, "
                   "bf16+remat, masked AdamW)",
@@ -174,7 +180,10 @@ def main():
                        num_inference_steps=STEPS, audio_guidance_scale=AG,
                        text_guidance_scale=1.0, sampler="ddim",
                        rng=jax.random.PRNGKey(i))
-            return jax.block_until_ready(out)
+            # materialize a scalar: forces completion AND surfaces device
+            # errors (a silently-errored buffer chain "completes" instantly)
+            v = float(out[0, 0, 0, 0, 0])
+            assert np.isfinite(v), v
 
         run(0)  # warmup: compiles + fills the null-audio cache
         times = []
