@@ -71,6 +71,7 @@ class OptimConfig:
     resume_from_checkpoint: str = "latest"
     mixed_precision: str = "bf16"   # fp16 in the reference; bf16 on TPU
     enable_gradient_checkpoint: bool = False
+    gradient_checkpoint_policy: str = "full"  # or "dots" (save matmul outs)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,6 +115,8 @@ class AnimationJobConfig:
                 unet_kwargs[key] = tuple(v) if isinstance(v, list) else v
         unet_kwargs["remat"] = bool(optim_d.get("enable_gradient_checkpoint",
                                                 False))
+        unet_kwargs["remat_policy"] = optim_d.get(
+            "gradient_checkpoint_policy", "full")
         ds = _take(train.get("dataset", {}), DatasetConfig)
         if isinstance(ds.img_size, list):
             object.__setattr__(ds, "img_size", tuple(ds.img_size))

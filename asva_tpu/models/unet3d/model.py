@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -54,6 +55,11 @@ class UNet3DConfig:
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
     remat: bool = False
+    # "full": recompute whole blocks in backward (min memory, most
+    # recompute); "dots": jax.checkpoint dots_with_no_batch_dims_saveable —
+    # matmul outputs are SAVED, only elementwise/norm chains recompute
+    # (faster backward at higher activation memory)
+    remat_policy: str = "full"
 
     @classmethod
     def tiny(cls, **kw) -> "UNet3DConfig":
@@ -102,7 +108,13 @@ class AudioUNet3D(nn.Module):
                            dtype=self.dtype, name="conv_in")(sample)
 
         def maybe_remat(cls_):
-            return nn.remat(cls_) if cfg.remat else cls_
+            if not cfg.remat:
+                return cls_
+            if cfg.remat_policy == "dots":
+                policy = jax.checkpoint_policies.\
+                    dots_with_no_batch_dims_saveable
+                return nn.remat(cls_, policy=policy)
+            return nn.remat(cls_)
 
         # 3. down path
         res_stack = [x]

@@ -50,7 +50,9 @@ def bench_train():
                                    build_optimizer, trainable_mask)
 
     B, F = 4, 12
-    unet = AudioUNet3D(UNet3DConfig(remat=True), dtype=jnp.bfloat16)
+    policy = "dots" if "--remat_dots" in sys.argv else "full"
+    unet = AudioUNet3D(UNet3DConfig(remat=True, remat_policy=policy),
+                       dtype=jnp.bfloat16)
     vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
     audio_enc = SegmaskAudioEncoder(ImageBindAudioConfig(), n_segment=F,
                                     dtype=jnp.bfloat16)
