@@ -71,7 +71,7 @@ class OptimConfig:
     resume_from_checkpoint: str = "latest"
     mixed_precision: str = "bf16"   # fp16 in the reference; bf16 on TPU
     enable_gradient_checkpoint: bool = False
-    gradient_checkpoint_policy: str = "full"  # or "dots" (save matmul outs)
+    gradient_checkpoint_policy: str = "highres"  # or "full"/"dots"; see UNet3DConfig.remat_policy
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,7 +116,7 @@ class AnimationJobConfig:
         unet_kwargs["remat"] = bool(optim_d.get("enable_gradient_checkpoint",
                                                 False))
         unet_kwargs["remat_policy"] = optim_d.get(
-            "gradient_checkpoint_policy", "full")
+            "gradient_checkpoint_policy", "highres")
         ds = _take(train.get("dataset", {}), DatasetConfig)
         if isinstance(ds.img_size, list):
             object.__setattr__(ds, "img_size", tuple(ds.img_size))
@@ -166,9 +166,10 @@ class SyncJobConfig:
     batch_size: int = 4
     log_steps: int = 10
     tau: float = 0.1
-    # AVID-CMA initialization for the encoders (reference model.*.pretrained
+    # AVID-CMA initialization per encoder (reference model.*.pretrained
     # flags; avsync/models/audio.py:63-71 hard-codes the checkpoint path)
-    encoders_pretrained: bool = False
+    audio_pretrained: bool = False
+    video_pretrained: bool = False
     avid_cma_path: str = ("pretrained/AVID-CMA_Audioset_InstX-N1024-PosW-"
                           "N64-Top32_checkpoint.pth.tar")
     train_dataset: SyncDatasetConfig = SyncDatasetConfig()
@@ -199,9 +200,10 @@ class SyncJobConfig:
             batch_size=train.get("batch_size", 4),
             log_steps=train.get("log_steps", 10),
             tau=model.get("tau", 0.1),
-            encoders_pretrained=bool(
-                model.get("audio_encoder", {}).get("pretrained", False)
-                or model.get("video_encoder", {}).get("pretrained", False)),
+            audio_pretrained=bool(
+                model.get("audio_encoder", {}).get("pretrained", False)),
+            video_pretrained=bool(
+                model.get("video_encoder", {}).get("pretrained", False)),
             avid_cma_path=model.get(
                 "avid_cma_path", SyncJobConfig.avid_cma_path),
             train_dataset=fix(train.get("dataset", {})),

@@ -171,12 +171,21 @@ class ClipBPETokenizer:
             tokens.extend(self.encoder[t] for t in self._bpe(tok).split(" "))
         return tokens
 
-    def __call__(self, texts, context_length: int = 77) -> np.ndarray:
-        """(n, context_length) int32 ids: SOT + bpe + EOT, zero-padded."""
+    def __call__(self, texts, context_length: int = 77,
+                 pad: str = "zero") -> np.ndarray:
+        """(n, context_length) int32 ids: SOT + bpe + EOT, padded.
+
+        pad="zero": ImageBind SimpleTokenizer convention (it_sim tower,
+        EOS-pooled + causal, so the pad value is invisible).
+        pad="eot": transformers CLIPTokenizer(padding="max_length")
+        convention — REQUIRED for the SD1.5 text encoder, whose full
+        77-token output conditions the UNet, so pad ids change encodings.
+        """
         if isinstance(texts, str):
             texts = [texts]
         sot, eot = self.encoder[self.SOT], self.encoder[self.EOT]
-        out = np.zeros((len(texts), context_length), dtype=np.int32)
+        fill = 0 if pad == "zero" else eot
+        out = np.full((len(texts), context_length), fill, dtype=np.int32)
         for i, text in enumerate(texts):
             ids = [sot] + self.encode(text) + [eot]
             if len(ids) > context_length:   # truncate, keep EOT last

@@ -101,4 +101,5 @@ def tokenize(texts, max_length: int = 77,
     """
     from .clip_bpe import ClipBPETokenizer
     tok = ClipBPETokenizer.from_pretrained(tokenizer_path)
-    return jnp.asarray(tok(texts, context_length=max_length))
+    # eot-padding: the SD1.5 text encoder consumes all 77 positions
+    return jnp.asarray(tok(texts, context_length=max_length, pad="eot"))

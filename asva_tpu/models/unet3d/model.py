@@ -58,7 +58,10 @@ class UNet3DConfig:
     # "full": recompute whole blocks in backward (min memory, most
     # recompute); "dots": jax.checkpoint dots_with_no_batch_dims_saveable —
     # matmul outputs are SAVED, only elementwise/norm chains recompute
-    # (faster backward at higher activation memory)
+    # (faster backward, but OOMs the 1.2B UNet at batch 4 on one 16 GB
+    # chip); "highres": remat ONLY the two highest-resolution levels —
+    # the deep 8x8/4x4 levels hold ~half the FLOPs but tiny activations,
+    # so skipping their recompute costs little memory
     remat_policy: str = "full"
 
     @classmethod
@@ -107,13 +110,15 @@ class AudioUNet3D(nn.Module):
         x = FFInflatedConv(cfg.block_out_channels[0], 3, 1, 1,
                            dtype=self.dtype, name="conv_in")(sample)
 
-        def maybe_remat(cls_):
+        def maybe_remat(cls_, level: int = 0):
             if not cfg.remat:
                 return cls_
             if cfg.remat_policy == "dots":
                 policy = jax.checkpoint_policies.\
                     dots_with_no_batch_dims_saveable
                 return nn.remat(cls_, policy=policy)
+            if cfg.remat_policy == "highres" and level >= 2:
+                return cls_
             return nn.remat(cls_)
 
         # 3. down path
@@ -122,7 +127,7 @@ class AudioUNet3D(nn.Module):
         for i, btype in enumerate(cfg.down_block_types):
             out_ch = cfg.block_out_channels[i]
             is_final = i == len(cfg.block_out_channels) - 1
-            block = maybe_remat(DownBlock)(
+            block = maybe_remat(DownBlock, level=i)(
                 out_channels=out_ch,
                 num_layers=cfg.layers_per_block,
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
@@ -136,7 +141,7 @@ class AudioUNet3D(nn.Module):
             res_stack.extend(residuals)
 
         # 4. mid
-        x = maybe_remat(MidBlock)(
+        x = maybe_remat(MidBlock, level=len(cfg.block_out_channels) - 1)(
             channels=cfg.block_out_channels[-1], groups=cfg.norm_num_groups,
             eps=cfg.norm_eps, use_audio=cfg.mid_block_type == MID_AUDIO,
             num_heads=num_heads, dtype=self.dtype, name="mid_block")(
@@ -151,7 +156,9 @@ class AudioUNet3D(nn.Module):
             n_layers = cfg.layers_per_block + 1
             skips = res_stack[-n_layers:]
             del res_stack[-n_layers:]
-            block = maybe_remat(UpBlock)(
+            # up level i mirrors down level (L-1-i) in resolution
+            block = maybe_remat(
+                UpBlock, level=len(cfg.block_out_channels) - 1 - i)(
                 out_channels=out_ch, num_layers=n_layers,
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                 add_upsample=not is_final,

@@ -31,14 +31,16 @@ class MetricsLogger:
         self._wandb = None
         if log_with == "wandb":
             try:
+                import jax
+                if jax.process_index() != 0:   # main-process-only, like the
+                    raise RuntimeError("non-main process")  # reference tracker
                 import wandb
                 self._wandb = wandb.init(project="asva_tpu", name=run_name,
                                          config=config or {})
             except Exception as e:  # wandb absent / offline: JSONL still on
                 import logging
                 logging.getLogger("asva_tpu").warning(
-                    "wandb logging requested but unavailable (%s); "
-                    "JSONL only", e)
+                    "wandb logging disabled (%s); JSONL only", e)
 
     def log(self, step: int, **metrics):
         rec = {"step": int(step), "time": time.time()}

@@ -59,12 +59,16 @@ def process_allgather(x, tiled: bool = True):
     return np.asarray(multihost_utils.process_allgather(x, tiled=tiled))
 
 
-def gather_metric_records(indices, values):
+def gather_metric_records(indices, values, value_shape=None):
     """Gather per-example eval records from all processes and dedup by
     example index (reference scripts/avsync_eval.py:158-167: sharded eval
     may evaluate an index on more than one rank).
 
     indices: (n,) int example ids (host-local); values: (n, ...) floats.
+    `value_shape` gives the per-record trailing shape and MUST be passed
+    (identically on every process) when a process can end up with zero
+    records — an empty np.asarray list has trailing shape (), which would
+    disagree with non-empty processes' (k,) and corrupt the gather.
     Returns (unique_indices, values_at_unique) sorted by index; handles
     ragged per-process counts by padding to the global max with index -1.
     """
@@ -72,6 +76,8 @@ def gather_metric_records(indices, values):
     import numpy as np
     indices = np.asarray(indices, dtype=np.int64)
     values = np.asarray(values, dtype=np.float64)
+    if value_shape is not None:
+        values = values.reshape((len(indices),) + tuple(value_shape))
     if jax.process_count() > 1:
         counts = process_allgather(np.array([len(indices)]))
         m = int(counts.max())

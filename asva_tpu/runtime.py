@@ -156,19 +156,22 @@ def build_avsync_classifier(weights_dirs: Optional[dict] = None,
     return model, variables
 
 
-def init_avsync_from_avid_cma(variables, path: str):
+def init_avsync_from_avid_cma(variables, path: str,
+                              modules=("audio", "video")):
     """Initialize the classifier's encoders from a raw AVID-CMA checkpoint.
 
     The reference loads the tar's ["model"] dict and strips the DDP
     module.{audio,video}_model. prefixes before load_state_dict
-    (avsync/models/audio.py:63-71, video.py:84-91).  Head params have no
-    AVID-CMA source and stay fresh.  Returns (variables, report)."""
+    (avsync/models/audio.py:63-71, video.py:84-91).  `modules` selects
+    which encoders to initialize (the YAML has a per-encoder pretrained
+    flag).  Head params have no AVID-CMA source and stay fresh.
+    Returns (variables, report)."""
     state = load_torch_state(path)
     renamed = {}
     for k, v in state.items():
-        if k.startswith("module.audio_model."):
+        if "audio" in modules and k.startswith("module.audio_model."):
             renamed["audio_encoder." + k[len("module.audio_model."):]] = v
-        elif k.startswith("module.video_model."):
+        elif "video" in modules and k.startswith("module.video_model."):
             renamed["video_encoder." + k[len("module.video_model."):]] = v
     variables, report = convert_state_dict(variables, renamed, avsync_key_map)
     log.info("avsync: AVID-CMA init converted %d tensors (%d fresh, "

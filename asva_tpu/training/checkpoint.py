@@ -31,9 +31,23 @@ class CheckpointManager:
         os.makedirs(self.directory, exist_ok=True)
         self.checkpointing_steps = checkpointing_steps
         self.milestone_steps = milestone_steps
-        self._ckpt = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        # one AsyncCheckpointer PER SAVE SLOT (state, each module): orbax's
+        # AsyncCheckpointer.save waits for ITS OWN previous write, so a
+        # single instance would serialize the state+module writes of one
+        # checkpoint — separate instances let them overlap
+        self._ckpts: dict = {}
         self._last_saved: Optional[int] = None   # fully committed
         self._pending: Optional[int] = None      # async save in flight
+
+    def _ckpt(self, slot: str = "state"):
+        if slot not in self._ckpts:
+            self._ckpts[slot] = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+        return self._ckpts[slot]
+
+    def _wait_all(self):
+        for c in self._ckpts.values():
+            c.wait_until_finished()
 
     # -- paths --
     def _path(self, step: int) -> str:
@@ -68,7 +82,7 @@ class CheckpointManager:
         """Wait for the in-flight save (if any) and apply retention: once
         the pending step is durable, the previously committed checkpoint is
         deleted unless it is a milestone."""
-        self._ckpt.wait_until_finished()
+        self._wait_all()
         if self._pending is None:
             return
         prev = self._last_saved
@@ -91,19 +105,21 @@ class CheckpointManager:
             existing = self.existing_steps()
             self._last_saved = existing[-1] if existing else None
         self._commit_pending()   # previous async save (usually already done)
-        self._ckpt.save(os.path.join(self._path(step), "state"),
-                        args=ocp.args.StandardSave(state), force=True)
+        self._ckpt("state").save(os.path.join(self._path(step), "state"),
+                                 args=ocp.args.StandardSave(state),
+                                 force=True)
         for name, tree in (modules or {}).items():
-            self._ckpt.save(
+            self._ckpt(f"modules/{name}").save(
                 os.path.join(self._path(step), "modules", name),
                 args=ocp.args.StandardSave(tree), force=True)
         self._pending = step
         return True
 
     def restore(self, step: int, target: Any) -> Any:
-        self._ckpt.wait_until_finished()
-        return self._ckpt.restore(os.path.join(self._path(step), "state"),
-                                  args=ocp.args.StandardRestore(target))
+        self._wait_all()
+        return self._ckpt("state").restore(
+            os.path.join(self._path(step), "state"),
+            args=ocp.args.StandardRestore(target))
 
     def restore_latest(self, target: Any) -> Optional[Any]:
         step = self.latest_step()
@@ -112,11 +128,12 @@ class CheckpointManager:
         return step, self.restore(step, target)
 
     def restore_module(self, step: int, name: str, target: Any) -> Any:
-        self._ckpt.wait_until_finished()
-        return self._ckpt.restore(
+        self._wait_all()
+        return self._ckpt(f"modules/{name}").restore(
             os.path.join(self._path(step), "modules", name),
             args=ocp.args.StandardRestore(target))
 
     def close(self):
         self._commit_pending()
-        self._ckpt.close()
+        for c in self._ckpts.values():
+            c.close()

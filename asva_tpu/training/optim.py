@@ -39,7 +39,14 @@ def segments_for_trainable_modules(modules: Sequence[str]) -> frozenset:
     }
     segs = set()
     for m in modules:
-        segs |= set(table.get(m.strip("_"), (m,)))
+        key = m.strip("_")
+        if key not in table:
+            import logging
+            logging.getLogger("asva_tpu").warning(
+                "trainable_modules token %r is not a known module family "
+                "(%s); it will be matched as a literal path segment", m,
+                sorted(table))
+        segs |= set(table.get(key, (m,)))
     return frozenset(segs)
 
 
@@ -60,9 +67,14 @@ def trainable_mask(params: Any,
             return True
         return any(str(getattr(k, "key", k)) in seg_set for k in path)
 
+    marks = [is_trainable(path) for path, _ in flat]
+    if seg_set and flat and not any(marks):
+        raise ValueError(
+            f"trainable_mask: no parameter path matches segments "
+            f"{sorted(seg_set)} — a masked optimizer would silently train "
+            "nothing")
     treedef = jax.tree.structure(params)
-    return jax.tree.unflatten(treedef,
-                              [is_trainable(path) for path, _ in flat])
+    return jax.tree.unflatten(treedef, marks)
 
 
 def build_optimizer(

@@ -5,11 +5,11 @@ on-device mel frontend, ImageBind-huge audio tower, VAE image encode,
 full-size AudioUNet3D (inflated SD1.5, audio cross-attn + temporal attn)
 12 frames @ 256x256 (32x32 latents) DDIM-25 with audio CFG 4.0 / text CFG
 1.0 (the reference's headline eval setting -> 2-way CFG batch per step),
-and VAE decode of all 12 frames — in bf16 on one chip.  Batch sizes
-{1, 2, 4} are swept; the headline number is the best clips/sec (the
-dataset-generation path batches clips, pipelines/generate.py).  The
-null-audio encoding is cached across calls (constant of the frozen tower),
-matching steady-state dataset sweeps.
+and VAE decode of all 12 frames — in bf16 on one chip.  The default run
+measures batch 1 — the measured per-clip optimum on v5e-1 (r2 sweep:
+b1=0.606 > b2=0.583 > b4=0.552; pass --sweep to re-measure {1,2,4} after
+kernel changes).  The null-audio encoding is cached across calls (constant
+of the frozen tower), matching steady-state dataset sweeps.
 
 vs_baseline compares against an ESTIMATED A100 PyTorch fp16 reference
 throughput for lzhangbj/ASVA (the repo publishes no speed numbers;
@@ -37,7 +37,9 @@ ESTIMATED_A100_TORCH_TRAIN_STEPS_PER_SEC = 0.77
 def bench_train():
     """Optional mode (`python bench.py --train`): full-size AVSyncD training
     step (frozen encoders + UNet fwd/bwd over _temp/_audio + masked AdamW),
-    batch 4, bf16, remat — steps/sec on one chip."""
+    batch 4, bf16 — steps/sec on one chip.  Remat policy defaults to
+    "highres" (r2: 1.60 steps/s vs 1.53 full-remat; "dots" OOMs at batch 4
+    on 16 GB); override with --remat_full / --remat_dots."""
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +52,10 @@ def bench_train():
                                    build_optimizer, trainable_mask)
 
     B, F = 4, 12
-    policy = "dots" if "--remat_dots" in sys.argv else "full"
+    policy = "highres"
+    for p in ("dots", "highres", "full"):
+        if f"--remat_{p}" in sys.argv:
+            policy = p
     unet = AudioUNet3D(UNet3DConfig(remat=True, remat_policy=policy),
                        dtype=jnp.bfloat16)
     vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)

@@ -86,10 +86,14 @@ def build_eval_models(args):
             fid_vars, inception_v3_key_map, fid_path,
             [os.path.join(root, "pt_inception-2015-12-05-6726825d.pth")],
             "fid_inception_v3", args, random_nets)
-        # NOTE: bind net+vars per metric — a shared local name here would be
-        # captured by reference and rebound by the next block
-        models.fid_features = jax.jit(
-            lambda x: fid_net.apply(fid_vars, jnp.asarray(x)))
+        # NOTE: bind net+vars per metric — a shared local name here would
+        # be captured by reference and rebound by the next block.  Params
+        # are jit ARGUMENTS (partial-applied), never closure constants —
+        # closures embed the weights in the remote-compile payload
+        # (CLAUDE.md HTTP 413 note).
+        import functools
+        models.fid_features = functools.partial(
+            jax.jit(lambda p, x: fid_net.apply(p, jnp.asarray(x))), fid_vars)
 
     if args.eval_fvd:
         i3d_net = InceptionI3D()
@@ -110,8 +114,9 @@ def build_eval_models(args):
             i3d_vars, i3d_key_map, i3d_path,
             [os.path.join(root, "i3d_torchscript.pt")],
             "fvd_i3d", args, random_nets)
-        models.fvd_features = jax.jit(
-            lambda v: i3d_net.apply(i3d_vars, jnp.asarray(v)))
+        import functools
+        models.fvd_features = functools.partial(
+            jax.jit(lambda p, v: i3d_net.apply(p, jnp.asarray(v))), i3d_vars)
 
     if args.eval_relsync or args.eval_alignsync:
         wd = None
@@ -126,9 +131,11 @@ def build_eval_models(args):
             print("WARNING: avsync classifier running with RANDOM weights")
             random_nets.append("avsync_classifier")
         clf, clf_vars = build_avsync_classifier(wd)
-        models.avsync_score = jax.jit(
-            lambda mels, vids: clf.apply(clf_vars, jnp.asarray(mels),
-                                         jnp.asarray(vids)))
+        import functools
+        models.avsync_score = functools.partial(
+            jax.jit(lambda p, mels, vids: clf.apply(p, jnp.asarray(mels),
+                                                    jnp.asarray(vids))),
+            clf_vars)
 
     if args.eval_clipsim or args.eval_alignsync:
         from asva_tpu.models.imagebind_extra import (ImageBindTextConfig,

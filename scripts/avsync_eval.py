@@ -94,7 +94,10 @@ def main():
 
     # cross-process all-gather + index dedup (reference avsync_eval:150-167)
     _, merged = gather_metric_records(np.asarray(indices, np.int64),
-                                      np.asarray(hits, np.float64))
+                                      np.asarray(hits, np.float64),
+                                      value_shape=(2,))
+    if len(merged) == 0:
+        raise SystemExit("no examples evaluated (empty dataset shard?)")
     acc = merged.mean(axis=0)
     print(f"A2V sync acc: {float(acc[0]):.4f} over {len(merged)} examples")
     print(f"V2A sync acc: {float(acc[1]):.4f}")

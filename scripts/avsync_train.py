@@ -50,11 +50,13 @@ def main():
                          jnp.zeros((1, 128, 204, 1)),
                          jnp.zeros((1, f, s, s, 3)))
 
-    if cfg.encoders_pretrained:
+    wanted = tuple(m for m, on in (("audio", cfg.audio_pretrained),
+                                   ("video", cfg.video_pretrained)) if on)
+    if wanted:
         if os.path.isfile(cfg.avid_cma_path):
             from asva_tpu.runtime import init_avsync_from_avid_cma
-            variables, _ = init_avsync_from_avid_cma(dict(variables),
-                                                     cfg.avid_cma_path)
+            variables, _ = init_avsync_from_avid_cma(
+                dict(variables), cfg.avid_cma_path, modules=wanted)
         else:
             log.warning(
                 "config requests AVID-CMA pretrained encoders but %s is "

@@ -56,8 +56,12 @@ def test_matches_transformers_cliptokenizer(tok_dir):
     for text in TEXTS:
         ref = hf(text)["input_ids"]
         got = ours([text], context_length=77)[0]
-        got = got[:len(ref)].tolist()
-        assert got == ref, (text, got, ref)
+        assert got[:len(ref)].tolist() == ref, (text, ref)
+        # SD path: eot padding must equal transformers' max_length padding
+        ref_pad = hf(text, padding="max_length", max_length=77,
+                     truncation=True)["input_ids"]
+        got_pad = ours([text], context_length=77, pad="eot")[0]
+        assert got_pad.tolist() == ref_pad, (text,)
 
 
 def test_gz_constructor_equivalent(tok_dir):
