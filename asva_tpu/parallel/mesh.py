@@ -31,6 +31,22 @@ def make_mesh(n_devices: Optional[int] = None, fsdp: int = 1,
     return Mesh(arr, ("data", "fsdp"))
 
 
+def make_gen_mesh(n_devices: Optional[int] = None, seq: int = 1,
+                  devices: Optional[Sequence] = None) -> Mesh:
+    """(data, seq) mesh for generation: `seq` shards the FRAME axis —
+    sequence/context parallelism for videos longer than one chip's memory
+    or latency budget.  All frame-axis ops in the UNet (temporal attention,
+    conv_temp 3-tap mix, frame-0 K/V broadcast, all-frame GroupNorm stats)
+    are jnp ops, so the SPMD partitioner inserts the all-gathers/psums;
+    the reference has no equivalent (SURVEY §5.7)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    assert n % seq == 0, (n, seq)
+    arr = np.asarray(devices).reshape(n // seq, seq)
+    return Mesh(arr, ("data", "seq"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over every mesh axis."""
     return NamedSharding(mesh, P(("data", "fsdp")))

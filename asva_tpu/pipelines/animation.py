@@ -47,14 +47,33 @@ class AnimationPipeline:
     _null_audio: Optional[jnp.ndarray] = dataclasses.field(
         default=None, init=False, repr=False)
 
+    def _batch_axes(self):
+        return tuple(a for a in self.mesh.axis_names if a != "seq")
+
     def _shard_batch(self, tree):
-        """Shard leading (batch) axes over the mesh's data axis; params stay
-        replicated — generation scales clips/sec linearly with chips."""
+        """Shard leading (batch) axes over the mesh's data axes; params stay
+        replicated — generation scales clips/sec linearly with chips.  A
+        "seq" mesh axis is NOT consumed by the batch: it shards the frame
+        axis (see _seq_constraint)."""
         if self.mesh is None:
             return tree
         from jax.sharding import NamedSharding, PartitionSpec as P
-        sharding = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
+        sharding = NamedSharding(self.mesh, P(self._batch_axes()))
         return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+    def _seq_constraint(self, latents):
+        """Frame-axis (sequence) parallelism: constrain (b, f, ...) video
+        latents to P(data, seq) so every UNet op runs frame-sharded; the
+        SPMD partitioner inserts the temporal-attention all-gathers, the
+        conv_temp halo exchanges and the frame-0 broadcasts.  Enables
+        videos longer than a single chip's latency/memory budget — a
+        capability the reference lacks (SURVEY §5.7)."""
+        if self.mesh is None or "seq" not in self.mesh.axis_names:
+            return latents
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(self._batch_axes(), "seq")
+        return jax.lax.with_sharding_constraint(
+            latents, NamedSharding(self.mesh, spec))
 
     # ---------------- conditioning ----------------
 
@@ -151,7 +170,7 @@ class AnimationPipeline:
             state = init_state(plan, latents, step_slice=sl)
 
             def body(state, row):
-                x = jnp.concatenate([state.latents] * k)
+                x = jnp.concatenate([self._seq_constraint(state.latents)] * k)
                 t = jnp.broadcast_to(row["t_model"], (k * b,))
                 eps = self.unet.apply(unet_params, x, t, text_stack,
                                       audio_stack, None, audio_token_indices)
@@ -219,7 +238,8 @@ class AnimationPipeline:
             rng_noise, (nb, video_length - 1, hh, ww, c),
             image_latents.dtype)
         noise = jnp.broadcast_to(noise, (b,) + noise.shape[1:])
-        latents = jnp.concatenate([image_latents[:, None], noise], axis=1)
+        latents = self._seq_constraint(
+            jnp.concatenate([image_latents[:, None], noise], axis=1))
 
         audio_ctx, audio_masks, null_audio_ctx = self.encode_audio(audio_mels)
         if audio_masks.shape[1] != video_length:
