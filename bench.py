@@ -116,6 +116,61 @@ def bench_train():
     }))
 
 
+def bench_sync():
+    """`python bench.py --sync`: AVSync classifier contrastive training
+    step — reference protocol shapes (batch 4 x 21 shifted clips x 12
+    frames @ 224^2; 441 pairwise head scores per item, symmetric InfoNCE)
+    — steps/sec on one chip.  The reference trained this 4 days on
+    8x RTX-A4500 at the same per-GPU batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _materialize
+    from asva_tpu.models.avsync import AVSyncClassifier
+    from asva_tpu.training.optim import build_optimizer
+    from asva_tpu.training.sync_trainer import (SyncContrastiveTrainer,
+                                                SyncTrainState)
+
+    B, K, F, S = 4, 21, 12, 224
+    clf = AVSyncClassifier(dtype=jnp.bfloat16)
+    variables = _materialize(jax.eval_shape(lambda: clf.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 204, 1), jnp.bfloat16),
+        jnp.zeros((1, F, S, S, 3), jnp.bfloat16))))
+    trainer = SyncContrastiveTrainer(clf, tau=0.1)
+    tx = build_optimizer(2e-4)
+    state = SyncTrainState(jnp.zeros((), jnp.int32), variables["params"],
+                           variables["batch_stats"],
+                           tx.init(variables["params"]))
+    step = trainer.make_train_step(tx)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "mels": jnp.asarray(rng.standard_normal((B, K, 128, 204, 1)),
+                            jnp.float32),
+        "videos": jnp.asarray(rng.random((B, K, F, S, S, 3)), jnp.float32),
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["av_loss"]))
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch)
+        lf = float(metrics["av_loss"])   # forces completion; surfaces OOM
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(lf), lf
+    sps = 1.0 / min(times)
+    # reference scale: 350k steps over ~4 days on 8 GPUs ~= 1.0 step/s
+    # total ~= 0.127 steps/s/GPU at batch 4
+    est_a4500 = 0.127
+    print(json.dumps({
+        "metric": f"AVSync classifier train steps/sec/chip (batch {B}x{K} "
+                  "clips, 12x224^2, bf16, symmetric InfoNCE)",
+        "value": round(sps, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(sps / est_a4500, 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -218,5 +273,7 @@ def main():
 if __name__ == "__main__":
     if "--train" in sys.argv:
         bench_train()
+    elif "--sync" in sys.argv:
+        bench_sync()
     else:
         main()

@@ -31,6 +31,7 @@ def main():
     from asva_tpu.models.avsync import AVSyncClassifier
     from asva_tpu.ops.mel import waveform_to_mel
     from asva_tpu.parallel import batch_sharding, make_mesh
+    from asva_tpu.observability import GracefulShutdown
     from asva_tpu.training.checkpoint import CheckpointManager
     from asva_tpu.training.optim import build_optimizer
     from asva_tpu.training.sync_trainer import (SyncContrastiveTrainer,
@@ -107,6 +108,7 @@ def main():
     meter = {k_: AverageMeter(window=cfg.log_steps)
              for k_ in ("av_loss", "va_loss", "av_acc", "va_acc")}
     timer = StepTimer()
+    shutdown = GracefulShutdown()
     step = int(state.step)
 
     if len(train_loader) == 0:
@@ -138,6 +140,11 @@ def main():
                         "classifier": {"params": state.params,
                                        "batch_stats": state.batch_stats}})
                     log.info("saving checkpoint-%d (async)", step)
+                if shutdown.requested:
+                    log.info("shutdown requested: checkpointing at %d", step)
+                    ckpt.save(step, state, force=True)
+                    ckpt.close()
+                    return
     ckpt.save(step, state, force=True, modules={
         "classifier": {"params": state.params,
                        "batch_stats": state.batch_stats}})
