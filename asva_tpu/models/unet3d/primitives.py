@@ -86,18 +86,54 @@ class FFInflatedConv(nn.Module):
         return y + mix + bias.astype(y.dtype)
 
 
+class DenseParams(nn.Module):
+    """nn.Dense-equivalent with setup-declared params.
+
+    Same param paths (<name>/{kernel,bias}), same default inits
+    (lecun_normal / zeros) and same dtype-promotion math as
+    nn.Dense(dtype=dtype) — but the raw `kernel`/`bias` are attribute-
+    accessible so fused Pallas kernels (ops/pallas_fused.py) can consume
+    them without a separate HBM round trip per projection."""
+    features: int
+    in_features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, self.features))
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.features,))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), self.kernel.astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())))
+        if self.use_bias:
+            y = y + self.bias.astype(self.dtype)
+        return y
+
+
 class MultiHeadProjections(nn.Module):
     """q/k/v/out projections with diffusers' layout (bias only on out)."""
     inner_dim: int
     num_heads: int
-    kv_dim: Optional[int] = None
+    q_in: Optional[int] = None   # query input dim (defaults to inner_dim)
+    kv_dim: Optional[int] = None  # context input dim (defaults to q_in)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.to_q = nn.Dense(self.inner_dim, use_bias=False, dtype=self.dtype)
-        self.to_k = nn.Dense(self.inner_dim, use_bias=False, dtype=self.dtype)
-        self.to_v = nn.Dense(self.inner_dim, use_bias=False, dtype=self.dtype)
-        self.to_out = nn.Dense(self.inner_dim, use_bias=True, dtype=self.dtype)
+        q_in = self.q_in if self.q_in is not None else self.inner_dim
+        kv_in = self.kv_dim if self.kv_dim is not None else q_in
+        self.to_q = DenseParams(self.inner_dim, q_in, use_bias=False,
+                                dtype=self.dtype)
+        self.to_k = DenseParams(self.inner_dim, kv_in, use_bias=False,
+                                dtype=self.dtype)
+        self.to_v = DenseParams(self.inner_dim, kv_in, use_bias=False,
+                                dtype=self.dtype)
+        self.to_out = DenseParams(self.inner_dim, self.inner_dim,
+                                  use_bias=True, dtype=self.dtype)
 
     def split(self, x: jnp.ndarray) -> jnp.ndarray:
         return x.reshape(x.shape[:-1] + (self.num_heads,
@@ -115,16 +151,46 @@ class FFSpatialAttention(nn.Module):
     the VMEM-resident Pallas kernel (ops/pallas_attn.py) — all 12 frames'
     queries attend the SAME frame-0 K/V, so the kernel holds K/V on-chip and
     the (f*n x n) fp32 logits never touch HBM.
+
+    When `ln` (a LayerNormParams) is passed, the module computes the whole
+    residual sub-layer x + Attn(LN(x)) — on TPU through the fully fused
+    ops/pallas_fused.fused_ln_attn kernel, which also keeps the LN output,
+    q projection and out projection off HBM (K/V are projected from the
+    normed frame 0 outside the kernel: 2x1.3 MB vs the ~90 MB of level-0
+    round trips it removes).
     """
     num_heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, ln=None) -> jnp.ndarray:
         inner = self.num_heads * self.head_dim
-        proj = MultiHeadProjections(inner, self.num_heads, dtype=self.dtype,
-                                    name="proj")
+        b, f, n, c = x.shape
+        proj = MultiHeadProjections(inner, self.num_heads, q_in=c,
+                                    dtype=self.dtype, name="proj")
+        if ln is None:
+            return self._attend(x, proj)
+
+        from ...ops import pallas_fused
+        ok, bm = pallas_fused.supports_attn(f * n, n, inner, self.num_heads,
+                                            x.dtype)
+        if pallas_fused.enabled() and ok and inner == c:
+            h0 = ln(x[:, 0])                           # (b, n, c) normed f0
+            k0 = pallas_fused.pad_heads_tokens(proj.to_k(h0), self.num_heads)
+            v0 = pallas_fused.pad_heads_tokens(proj.to_v(h0), self.num_heads)
+            wq = pallas_fused.pad_heads(
+                proj.to_q.kernel.astype(self.dtype), self.num_heads, axis=1)
+            wo = pallas_fused.pad_heads(
+                proj.to_out.kernel.astype(self.dtype), self.num_heads, axis=0)
+            out = pallas_fused.fused_ln_attn(
+                x.reshape(b, f * n, c), ln.scale[None], ln.bias[None],
+                wq, wo, proj.to_out.bias[None].astype(self.dtype),
+                k0, v0, ln.epsilon, self.num_heads, None, bm)
+            return out.reshape(b, f, n, c)
+        return x + self._attend(ln(x), proj)
+
+    def _attend(self, x: jnp.ndarray, proj) -> jnp.ndarray:
         b, f, n, _ = x.shape
         q = proj.split(proj.to_q(x))                   # (b, f, n, H, D)
         first = x[:, 0:1]                              # (b, 1, n, c)
@@ -164,10 +230,78 @@ class CrossAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None,
-                 context_indices=None) -> jnp.ndarray:
+                 context_indices=None, ln=None) -> jnp.ndarray:
         inner = self.num_heads * self.head_dim
-        proj = MultiHeadProjections(inner, self.num_heads, dtype=self.dtype,
-                                    name="proj")
+        b, f, n, c = x.shape
+        proj = MultiHeadProjections(inner, self.num_heads, q_in=c,
+                                    kv_dim=context.shape[-1],
+                                    dtype=self.dtype, name="proj")
+        if ln is None:
+            return self._attend(x, context, mask, context_indices, proj)
+
+        from ...ops import pallas_fused
+        # fused residual sub-layer x + CrossAttn(LN(x)): broadcastable
+        # (b, m, d) context, either static-gathered per frame (audio) or
+        # shared (text); K/V are tiny (<=229 tokens) and pre-projected
+        if (pallas_fused.enabled() and inner == c
+                and context.ndim == x.ndim - 1
+                and (mask is None or context_indices is not None)):
+            if context_indices is not None:
+                idx = jnp.asarray(context_indices)
+                m_tok = int(idx.shape[1])
+                sk = -(-m_tok // 128) * 128
+                ok, bm = pallas_fused.supports_attn(
+                    n, sk, inner, self.num_heads, x.dtype)
+                if ok:
+                    k = jnp.take(proj.to_k(context), idx, axis=1)
+                    v = jnp.take(proj.to_v(context), idx, axis=1)
+                    pad = [(0, 0), (0, 0), (0, sk - m_tok), (0, 0)]
+                    k = pallas_fused.pad_heads_tokens(
+                        jnp.pad(k, pad), self.num_heads)
+                    v = pallas_fused.pad_heads_tokens(
+                        jnp.pad(v, pad), self.num_heads)
+                    hdp = k.shape[-1]
+                    out = pallas_fused.fused_ln_attn(
+                        x.reshape(b * f, n, c),
+                        ln.scale[None], ln.bias[None],
+                        pallas_fused.pad_heads(
+                            proj.to_q.kernel.astype(self.dtype),
+                            self.num_heads, axis=1),
+                        pallas_fused.pad_heads(
+                            proj.to_out.kernel.astype(self.dtype),
+                            self.num_heads, axis=0),
+                        proj.to_out.bias[None].astype(self.dtype),
+                        k.reshape(b * f, sk, hdp), v.reshape(b * f, sk, hdp),
+                        ln.epsilon, self.num_heads, m_tok, bm)
+                    return out.reshape(b, f, n, c)
+            else:
+                m_tok = int(context.shape[1])
+                sk = -(-m_tok // 128) * 128
+                ok, bm = pallas_fused.supports_attn(
+                    f * n, sk, inner, self.num_heads, x.dtype)
+                if ok:
+                    pad = [(0, 0), (0, sk - m_tok), (0, 0)]
+                    k = pallas_fused.pad_heads_tokens(
+                        jnp.pad(proj.to_k(context), pad), self.num_heads)
+                    v = pallas_fused.pad_heads_tokens(
+                        jnp.pad(proj.to_v(context), pad), self.num_heads)
+                    out = pallas_fused.fused_ln_attn(
+                        x.reshape(b, f * n, c),
+                        ln.scale[None], ln.bias[None],
+                        pallas_fused.pad_heads(
+                            proj.to_q.kernel.astype(self.dtype),
+                            self.num_heads, axis=1),
+                        pallas_fused.pad_heads(
+                            proj.to_out.kernel.astype(self.dtype),
+                            self.num_heads, axis=0),
+                        proj.to_out.bias[None].astype(self.dtype),
+                        k, v, ln.epsilon, self.num_heads,
+                        m_tok if m_tok < sk else None, bm)
+                    return out.reshape(b, f, n, c)
+        return x + self._attend(ln(x), context, mask, context_indices, proj)
+
+    def _attend(self, x: jnp.ndarray, context: jnp.ndarray,
+                mask, context_indices, proj) -> jnp.ndarray:
         q = proj.split(proj.to_q(x))        # (b, f, n, H, D)
         k = proj.split(proj.to_k(context))  # (b, [f,] m, H, D)
         v = proj.split(proj.to_v(context))

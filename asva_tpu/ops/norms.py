@@ -83,6 +83,29 @@ class SpatialGroupNorm(nn.Module):
         return y * scale.astype(y.dtype) + bias.astype(y.dtype)
 
 
+class LayerNormParams(nn.Module):
+    """LayerNorm with setup-declared params (same math and param paths as
+    AdaptiveOrLayerNorm: <name>/{scale,bias}) so fused Pallas kernels can
+    read `scale`/`bias` directly while the unfused path calls the module."""
+    features: int
+    epsilon: float = 1e-5
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * self.scale + self.bias
+        return y.astype(dtype)
+
+
 class AdaptiveOrLayerNorm(nn.Module):
     """Plain LayerNorm (fp32 stats).  AdaLayerNorm variants of the reference
     are never enabled in AVSyncD configs, so only the plain path exists;

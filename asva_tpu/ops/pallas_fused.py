@@ -1,0 +1,358 @@
+"""Fused residual-sublayer Pallas TPU kernels for the UNet transformer block.
+
+Motivation (measured, see CLAUDE.md): UNet eval runs at ~96% of its own HBM
+byte roofline — 52 GB accessed per batch-2 eval vs 4.8 TF of compute — and
+the level-0 transformer blocks dominate the traffic (~3.1 GB each).  XLA
+materializes every sub-layer intermediate in HBM: the LayerNorm output, the
+q projection, the (TM x Sk) fp32 logits, the GEGLU (tokens x 8C)
+intermediate, and each residual add.  These kernels compute one whole
+residual sub-layer per pallas_call —
+
+    y = x + W_out( op( W_.. ( LN(x) ) ) )
+
+— reading the residual stream ONCE and writing it ONCE; every intermediate
+lives in VMEM.  The weights of a sub-layer (<= ~10 MB at C<=640) stay
+VMEM-resident across grid steps (constant index maps).
+
+Kernels:
+  * fused_ln_geglu — LayerNorm -> Dense(C, 8C) -> value*gelu(gate)
+      -> Dense(4C, C) -> +residual.  Kills the ~250 MB/level-0-block GEGLU
+      intermediate round-trip.
+  * fused_ln_attn — LayerNorm -> q proj -> multi-head attention against
+      PRE-PROJECTED K/V -> out proj -> +residual.  Serves the frame-0-KV
+      spatial attention (K/V projected once from frame 0 outside the kernel
+      — 1.3 MB vs the 15.7 MB q/o round trips it saves) and the audio/text
+      cross-attentions (25/77 context tokens zero-padded to one lane tile
+      and length-masked).  Heads use a PADDED lane layout: every head's
+      head_dim-40 slice is padded to a 128-lane slot (weights padded
+      outside, zeros contribute nothing to the dot products) so in-kernel
+      head slicing is lane-aligned; the extra MXU work is ~9 GFLOP against
+      a 4.8 TF eval.
+
+Backward: custom_vjp falls back to jax.vjp of the numerically-equivalent
+XLA composite (same pattern as ops/pallas_attn.py) — training remats the
+forward anyway; inference is the hot path.
+
+Reference semantics being fused (not copied):
+  avgen/models/unets/transformers/ff_spatio_audio_temp_transformer_3d.py
+  :278-372 (sub-layer order), avgen/models/unets/utils.py:105-162 (frame-0
+  K/V attention).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+_F32 = jnp.float32
+HEAD_PAD = 128  # lane-aligned per-head slot width
+
+# test hook: force the fused paths on a non-TPU backend (pair with
+# pltpu.force_tpu_interpret_mode)
+FORCE = False
+
+
+def enabled() -> bool:
+    return FORCE or jax.default_backend() == "tpu"
+
+
+def _gelu_exact(x32):
+    """Exact (erf) gelu on fp32, Mosaic-lowerable.
+
+    Mosaic has no erf/erfc primitive, so erf comes from the
+    Abramowitz-Stegun 7.1.26 rational approximation (max abs error
+    1.5e-7 — far below the bf16 activations and the 2e-5 fp32 test
+    tolerance).  NOT the tanh "approximate" gelu: the reference uses
+    torch's exact erf gelu.
+    """
+    z = x32 * 0.7071067811865476
+    za = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * za)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf_abs = 1.0 - poly * jnp.exp(-za * za)
+    erf = jnp.where(z >= 0, erf_abs, -erf_abs)
+    return 0.5 * x32 * (1.0 + erf)
+
+
+def _ln_rows(x32, scale32, bias32, eps):
+    """LayerNorm over the last axis of an fp32 tile."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale32 + bias32
+
+
+# --------------------------------------------------------------------------
+# fused LayerNorm + GEGLU feed-forward + residual
+# --------------------------------------------------------------------------
+
+def _ff_kernel(x_ref, ls_ref, lb_ref, wi_ref, bi_ref, wo_ref, bo_ref, o_ref,
+               *, eps):
+    x = x_ref[...]                                   # (TM, C)
+    xn = _ln_rows(x.astype(_F32), ls_ref[...].astype(_F32),
+                  lb_ref[...].astype(_F32), eps).astype(x.dtype)
+    s = jax.lax.dot_general(
+        xn, wi_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=_F32) + bi_ref[...].astype(_F32)
+    inner = wo_ref.shape[0]
+    value, gate = s[:, :inner], s[:, inner:]
+    h = (value * _gelu_exact(gate)).astype(x.dtype)
+    y = jax.lax.dot_general(
+        h, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=_F32) + bo_ref[...].astype(_F32)
+    o_ref[...] = (x.astype(_F32) + y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_m"))
+def _ln_geglu_flat(x, ls, lb, wi, bi, wo, bo, eps: float, block_m: int):
+    m, c = x.shape
+    two_inner = wi.shape[1]
+    inner = wo.shape[0]
+    grid = (m // block_m,)
+    return pl.pallas_call(
+        functools.partial(_ff_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, two_inner), lambda i: (0, 0)),
+            pl.BlockSpec((1, two_inner), lambda i: (0, 0)),
+            pl.BlockSpec((inner, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, c), lambda i: (i, 0)),
+    )(x, ls, lb, wi, bi, wo, bo)
+
+
+def _ln_geglu_reference(x, ls, lb, wi, bi, wo, bo, eps):
+    """XLA composite with the same numerics contract (LN stats in fp32,
+    matmuls in x.dtype with fp32 accumulation)."""
+    xn = _ln_rows(x.astype(_F32), ls.astype(_F32).reshape(1, -1),
+                  lb.astype(_F32).reshape(1, -1), eps).astype(x.dtype)
+    s = jax.lax.dot_general(xn, wi.astype(x.dtype), (((1,), (0,)), ((), ())),
+                            preferred_element_type=_F32)
+    s = s + bi.astype(_F32).reshape(1, -1)
+    inner = wo.shape[0]
+    value, gate = s[:, :inner], s[:, inner:]
+    h = (value * jax.nn.gelu(gate, approximate=False)).astype(x.dtype)
+    y = jax.lax.dot_general(h, wo.astype(x.dtype), (((1,), (0,)), ((), ())),
+                            preferred_element_type=_F32)
+    return x + (y + bo.astype(_F32).reshape(1, -1)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_ln_geglu(x, ls, lb, wi, bi, wo, bo, eps: float, block_m: int):
+    """x (M, C) tokens -> x + FF(LN(x)); every intermediate VMEM-resident.
+
+    ls/lb: LayerNorm scale/bias (1, C); wi (C, 2*inner), bi (1, 2*inner)
+    with [value | gate] column layout; wo (inner, C), bo (1, C).
+    """
+    return _ln_geglu_flat(x, ls, lb, wi, bi, wo, bo, eps, block_m)
+
+
+def _ff_fwd(x, ls, lb, wi, bi, wo, bo, eps, block_m):
+    out = _ln_geglu_flat(x, ls, lb, wi, bi, wo, bo, eps, block_m)
+    return out, (x, ls, lb, wi, bi, wo, bo)
+
+
+def _ff_bwd(eps, block_m, res, g):
+    x, ls, lb, wi, bi, wo, bo = res
+    _, vjp = jax.vjp(
+        lambda *a: _ln_geglu_reference(*a, eps), x, ls, lb, wi, bi, wo, bo)
+    return vjp(g)
+
+
+fused_ln_geglu.defvjp(_ff_fwd, _ff_bwd)
+
+
+def supports_ff(m: int, c: int, dtype) -> tuple:
+    """Viability gate; returns (ok, block_m).  Weights + one token tile of
+    fp32 intermediates must fit VMEM (~16 MB)."""
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False, 0
+    if c > 640 or c % 8 != 0:
+        # C=1280 puts >26 MB of FF weights in VMEM; levels 2/3 move few
+        # bytes anyway — XLA keeps them
+        return False, 0
+    block_m = 256 if c <= 320 else 128
+    if m % block_m != 0 or m < 2 * block_m:
+        return False, 0
+    return True, block_m
+
+
+# --------------------------------------------------------------------------
+# fused LayerNorm + q proj + MHA over pre-projected K/V + out proj
+# + residual (head-padded lane layout)
+# --------------------------------------------------------------------------
+
+def pad_heads(w, num_heads: int, axis: int):
+    """Pad a (C, H*D) projection (axis=1) or (H*D, C) out-projection
+    (axis=0) so each head occupies a HEAD_PAD-lane slot."""
+    hd = w.shape[axis]
+    d = hd // num_heads
+    dp = -(-d // HEAD_PAD) * HEAD_PAD
+    if d == dp:
+        return w
+    if axis == 1:
+        w3 = w.reshape(w.shape[0], num_heads, d)
+        w3 = jnp.pad(w3, ((0, 0), (0, 0), (0, dp - d)))
+        return w3.reshape(w.shape[0], num_heads * dp)
+    w3 = w.reshape(num_heads, d, w.shape[1])
+    w3 = jnp.pad(w3, ((0, 0), (0, dp - d), (0, 0)))
+    return w3.reshape(num_heads * dp, w.shape[1])
+
+
+def pad_heads_tokens(k, num_heads: int):
+    """Zero-pad pre-projected K/V tokens (..., H*D) -> (..., H*Dp)."""
+    hd = k.shape[-1]
+    d = hd // num_heads
+    dp = -(-d // HEAD_PAD) * HEAD_PAD
+    if d == dp:
+        return k
+    k3 = k.reshape(k.shape[:-1] + (num_heads, d))
+    k3 = jnp.pad(k3, [(0, 0)] * (k3.ndim - 1) + [(0, dp - d)])
+    return k3.reshape(k.shape[:-1] + (num_heads * dp,))
+
+
+def _attn_kernel(x_ref, ls_ref, lb_ref, wq_ref, wo_ref, bo_ref,
+                 k_ref, v_ref, o_ref, *, eps, num_heads, kv_len, scale):
+    x = x_ref[0]                                     # (TM, C)
+    xn = _ln_rows(x.astype(_F32), ls_ref[...].astype(_F32),
+                  lb_ref[...].astype(_F32), eps).astype(x.dtype)
+    q = jax.lax.dot_general(
+        xn, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=_F32).astype(x.dtype)  # (TM, H*Dp)
+    k = k_ref[0]                                     # (Sk, H*Dp)
+    v = v_ref[0]
+    sk = k.shape[0]
+    dp = q.shape[1] // num_heads
+    ctx = []
+    for h in range(num_heads):
+        sl = slice(h * dp, (h + 1) * dp)             # lane-aligned
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=_F32) * scale     # (TM, Sk) fp32
+        if kv_len is not None and kv_len < sk:
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(cols < kv_len, s, -1e9)
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        ctx.append(jax.lax.dot_general(
+            p, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=_F32).astype(x.dtype))
+    o = jnp.concatenate(ctx, axis=-1)                # (TM, H*Dp)
+    y = jax.lax.dot_general(
+        o, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=_F32) + bo_ref[...].astype(_F32)
+    o_ref[0] = (x.astype(_F32) + y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "num_heads", "kv_len", "block_m"))
+def _ln_attn_flat(x, ls, lb, wq, wo, bo, k, v, eps, num_heads, kv_len,
+                  block_m):
+    """x (G, M, C) token groups; k/v (G, Sk, H*Dp) pre-projected,
+    head-padded.  Group g's queries attend group g's K/V."""
+    g_, m, c = x.shape
+    sk = k.shape[1]
+    hdp = wq.shape[1]
+    d = c // num_heads                               # true head dim
+    scale = 1.0 / (d ** 0.5)
+    grid = (g_, m // block_m)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, eps=eps, num_heads=num_heads,
+                          kv_len=kv_len, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_m, c), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, c), lambda g, i: (0, 0)),
+            pl.BlockSpec((1, c), lambda g, i: (0, 0)),
+            pl.BlockSpec((c, hdp), lambda g, i: (0, 0)),
+            pl.BlockSpec((hdp, c), lambda g, i: (0, 0)),
+            pl.BlockSpec((1, c), lambda g, i: (0, 0)),
+            pl.BlockSpec((1, sk, hdp), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, sk, hdp), lambda g, i: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_m, c), lambda g, i: (g, i, 0)),
+    )(x, ls, lb, wq, wo, bo, k, v)
+
+
+def _ln_attn_reference(x, ls, lb, wq, wo, bo, k, v, eps, num_heads, kv_len):
+    g_, m, c = x.shape
+    sk = k.shape[1]
+    dp = wq.shape[1] // num_heads
+    d = c // num_heads
+    xn = _ln_rows(x.astype(_F32), ls.astype(_F32).reshape(1, 1, -1),
+                  lb.astype(_F32).reshape(1, 1, -1), eps).astype(x.dtype)
+    q = (xn @ wq.astype(x.dtype)).reshape(g_, m, num_heads, dp)
+    kh = k.reshape(g_, sk, num_heads, dp)
+    vh = v.reshape(g_, sk, num_heads, dp)
+    s = jnp.einsum("gmhd,gkhd->ghmk", q, kh,
+                   preferred_element_type=_F32) / (d ** 0.5)
+    if kv_len is not None and kv_len < sk:
+        cols = jnp.arange(sk)
+        s = jnp.where(cols[None, None, None, :] < kv_len, s, -1e9)
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    o = jnp.einsum("ghmk,gkhd->gmhd", p, vh,
+                   preferred_element_type=_F32).astype(x.dtype)
+    o = o.reshape(g_, m, num_heads * dp)
+    y = jax.lax.dot_general(o, wo.astype(x.dtype), (((2,), (0,)), ((), ())),
+                            preferred_element_type=_F32)
+    return x + (y + bo.astype(_F32).reshape(1, 1, -1)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def fused_ln_attn(x, ls, lb, wq, wo, bo, k, v, eps: float, num_heads: int,
+                  kv_len, block_m: int):
+    """x (G, M, C) -> x + Wo(MHA(Wq(LN(x)), k, v)).
+
+    wq (C, H*Dp) and wo (H*Dp, C) are head-padded (see pad_heads); k/v
+    (G, Sk, H*Dp) are pre-projected with the padded layout.  kv_len
+    (static) masks zero-padded KV rows beyond the true context length.
+    """
+    return _ln_attn_flat(x, ls, lb, wq, wo, bo, k, v, eps, num_heads,
+                         kv_len, block_m)
+
+
+def _attn_fwd(x, ls, lb, wq, wo, bo, k, v, eps, num_heads, kv_len, block_m):
+    out = _ln_attn_flat(x, ls, lb, wq, wo, bo, k, v, eps, num_heads,
+                        kv_len, block_m)
+    return out, (x, ls, lb, wq, wo, bo, k, v)
+
+
+def _attn_bwd(eps, num_heads, kv_len, block_m, res, g):
+    x, ls, lb, wq, wo, bo, k, v = res
+    _, vjp = jax.vjp(
+        lambda *a: _ln_attn_reference(*a, eps, num_heads, kv_len),
+        x, ls, lb, wq, wo, bo, k, v)
+    return vjp(g)
+
+
+fused_ln_attn.defvjp(_attn_fwd, _attn_bwd)
+
+
+def supports_attn(m: int, sk: int, c: int, num_heads: int, dtype) -> tuple:
+    """(ok, block_m) gate for fused_ln_attn.  VMEM: two head-padded
+    projection weights + K/V (Sk, H*Dp) + q tile + per-head logits."""
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False, 0
+    if sk % 128 != 0 or c % num_heads != 0:
+        return False, 0
+    d = c // num_heads
+    dp = -(-d // HEAD_PAD) * HEAD_PAD
+    hdp = num_heads * dp
+    block_m = 512 if sk <= 512 else 256
+    block_m = min(block_m, m)
+    if m % block_m != 0:
+        return False, 0
+    itm = 2 if dtype == jnp.bfloat16 else 4
+    vmem = (2 * c * hdp + 2 * sk * hdp + 2 * block_m * c
+            + block_m * hdp) * itm + block_m * sk * 4
+    return vmem < 12 * 1024 * 1024, block_m

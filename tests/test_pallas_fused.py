@@ -1,0 +1,186 @@
+"""Fused residual-sublayer kernels: interpret-mode parity + vjp fallback."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from asva_tpu.ops.pallas_fused import (
+    _ln_attn_reference, _ln_geglu_reference, fused_ln_attn, fused_ln_geglu,
+    pad_heads, supports_attn, supports_ff)
+
+
+def _ff_args(rng, m=512, c=320, dtype=jnp.float32):
+    inner = 4 * c
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.05, dtype)
+    return (r(m, c), r(1, c) + 1.0, r(1, c), r(c, 2 * inner),
+            r(1, 2 * inner), r(inner, c), r(1, c))
+
+
+def test_ff_kernel_matches_reference(rng):
+    args = _ff_args(rng)
+    with pltpu.force_tpu_interpret_mode():
+        o1 = fused_ln_geglu(*args, 1e-5, 256)
+    o2 = _ln_geglu_reference(*args, 1e-5)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ff_kernel_bf16(rng):
+    args = _ff_args(rng, m=256, c=320, dtype=jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        o1 = fused_ln_geglu(*args, 1e-5, 128)
+    o2 = _ln_geglu_reference(*args, 1e-5)
+    diff = jnp.abs(o1.astype(jnp.float32) - o2.astype(jnp.float32)).max()
+    assert float(diff) < 3e-2
+
+
+def test_ff_kernel_matches_flax_module_math(rng):
+    """The reference composite == the unfused module path (LN fp32 stats,
+    Dense in dtype): compare against flax layers directly."""
+    from flax import linen as nn
+
+    from asva_tpu.ops.norms import AdaptiveOrLayerNorm
+
+    c, inner = 64, 256
+    x = jnp.asarray(rng.standard_normal((128, c)), jnp.float32)
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = AdaptiveOrLayerNorm(name="norm")(x)
+            h = nn.Dense(2 * inner, name="proj_in")(h)
+            value, gate = jnp.split(h, 2, axis=-1)
+            h = value * nn.gelu(gate, approximate=False)
+            return x + nn.Dense(c, name="proj_out")(h)
+
+    params = Ref().init(jax.random.PRNGKey(0), x)
+    want = Ref().apply(params, x)
+    p = params["params"]
+    got = _ln_geglu_reference(
+        x, p["norm"]["scale"].reshape(1, -1), p["norm"]["bias"].reshape(1, -1),
+        p["proj_in"]["kernel"], p["proj_in"]["bias"].reshape(1, -1),
+        p["proj_out"]["kernel"], p["proj_out"]["bias"].reshape(1, -1), 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_ff_vjp_falls_back(rng):
+    args = _ff_args(rng, m=256, c=64)
+
+    def loss_k(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_ln_geglu(*a, 1e-5, 128) ** 2)
+
+    def loss_r(*a):
+        return jnp.sum(_ln_geglu_reference(*a, 1e-5) ** 2)
+
+    g1 = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    g2 = jax.grad(loss_r, argnums=tuple(range(7)))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def _attn_args(rng, g=2, m=512, sk=256, c=320, heads=8, dtype=jnp.float32):
+    d = c // heads
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.05, dtype)
+    wq = pad_heads(r(c, c), heads, axis=1)
+    wo = pad_heads(r(c, c), heads, axis=0)
+    kv_pad = pad_heads(jnp.eye(c, dtype=dtype), heads, axis=1)
+    k = r(g, sk, c) @ kv_pad      # pre-projected K/V in padded layout
+    v = r(g, sk, c) @ kv_pad
+    return (r(g, m, c), r(1, c) + 1.0, r(1, c), wq, wo, r(1, c), k, v)
+
+
+def test_attn_kernel_matches_reference(rng):
+    args = _attn_args(rng)
+    with pltpu.force_tpu_interpret_mode():
+        o1 = fused_ln_attn(*args, 1e-5, 8, None, 256)
+    o2 = _ln_attn_reference(*args, 1e-5, 8, None)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_attn_kernel_kv_mask(rng):
+    """Zero-padded KV rows beyond kv_len must not affect the output."""
+    args = list(_attn_args(rng, sk=128))
+    k, v = args[6], args[7]
+    keep = 77
+    mask = (jnp.arange(128) < keep)[None, :, None]
+    args[6] = jnp.where(mask, k, 0.0)
+    args[7] = jnp.where(mask, v, 0.0)
+    with pltpu.force_tpu_interpret_mode():
+        o1 = fused_ln_attn(*args, 1e-5, 8, keep, 256)
+    # reference on the TRUE 77 tokens only
+    ref_args = list(args)
+    ref_args[6] = args[6][:, :keep]
+    ref_args[7] = args[7][:, :keep]
+    o2 = _ln_attn_reference(*ref_args, 1e-5, 8, None)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_attn_vjp_falls_back(rng):
+    args = _attn_args(rng, g=1, m=256, sk=128, c=64, heads=2)
+
+    def loss_k(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_ln_attn(*a, 1e-5, 2, None, 128) ** 2)
+
+    def loss_r(*a):
+        return jnp.sum(_ln_attn_reference(*a, 1e-5, 2, None) ** 2)
+
+    g1 = jax.grad(loss_k, argnums=tuple(range(8)))(*args)
+    g2 = jax.grad(loss_r, argnums=tuple(range(8)))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_pad_heads_roundtrip(rng):
+    """Padded projections compute the same attention as unpadded."""
+    c, heads = 320, 8
+    w = jnp.asarray(rng.standard_normal((c, c)), jnp.float32)
+    wp = pad_heads(w, heads, axis=1)
+    assert wp.shape == (c, heads * 128)
+    x = jnp.asarray(rng.standard_normal((4, c)), jnp.float32)
+    got = (x @ wp).reshape(4, heads, 128)[:, :, :40]
+    want = (x @ w).reshape(4, heads, 40)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_supports_gates():
+    ok, bm = supports_ff(24 * 1024, 320, jnp.bfloat16)
+    assert ok and bm == 256
+    assert not supports_ff(24 * 1024, 1280, jnp.bfloat16)[0]
+    assert not supports_ff(100, 320, jnp.bfloat16)[0]
+    ok, bm = supports_attn(12 * 1024, 1024, 320, 8, jnp.bfloat16)
+    assert ok and bm == 256
+    ok, _ = supports_attn(1024, 128, 320, 8, jnp.bfloat16)
+    assert ok
+    assert not supports_attn(1000, 128, 320, 8, jnp.bfloat16)[0]
+
+
+def test_transformer_block_fused_matches_unfused(rng, monkeypatch):
+    """The whole SpatioAudioTempTransformerBlock: fused Pallas sub-layers
+    (forced, interpret mode) == the plain XLA path."""
+    import asva_tpu.ops.pallas_fused as pf
+    from asva_tpu.models.imagebind_audio import segment_token_indices
+    from asva_tpu.models.unet3d.transformer import (
+        SpatioAudioTempTransformerBlock)
+
+    b, f, n, c, heads = 1, 4, 512, 320, 8
+    blk = SpatioAudioTempTransformerBlock(c, heads, c // heads)
+    x = jnp.asarray(rng.standard_normal((b, f, n, c)) * 0.1, jnp.float32)
+    text = jnp.asarray(rng.standard_normal((b, 77, 768)) * 0.1, jnp.float32)
+    audio = jnp.asarray(rng.standard_normal((b, 229, 768)) * 0.1, jnp.float32)
+    idx = jnp.asarray(segment_token_indices(f, (12, 19)))
+    params = blk.init(jax.random.PRNGKey(0), x, text, audio, None, idx)
+
+    want = blk.apply(params, x, text, audio, None, idx)
+    monkeypatch.setattr(pf, "FORCE", True)
+    with pltpu.force_tpu_interpret_mode():
+        got = blk.apply(params, x, text, audio, None, idx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-5)

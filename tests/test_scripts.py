@@ -84,10 +84,15 @@ optim:
     cfg_path.write_text(cfg)
     # NOTE: the full-size ImageBind audio tower is built by the script; on
     # CPU with tiny batch this still completes in reasonable time for 3 steps
+    # 2 virtual devices, not 8: on a loaded 1-core box the XLA:CPU
+    # all-gather rendezvous (40 s termination timeout) flakes with 8
+    # collective threads; 8-device mesh coverage lives in
+    # test_pipeline_sharded.py and __graft_entry__.dryrun_multichip
+    env = dict(ENV, XLA_FLAGS="--xla_force_host_platform_device_count=2")
     out = subprocess.run(
         [sys.executable, f"{REPO}/scripts/animation_train.py",
          "--config_file", str(cfg_path), "--max_steps_override", "3"],
-        env=ENV, capture_output=True, text=True, timeout=1500)
+        env=env, capture_output=True, text=True, timeout=1500)
     assert out.returncode == 0, out.stderr[-3000:]
     ckpts = os.listdir(f"{tmp_path}/run/ckpts")
     assert any(c.startswith("checkpoint-") for c in ckpts), ckpts
