@@ -179,10 +179,17 @@ def supports_ff(m: int, c: int, dtype) -> tuple:
         # C=1280 puts >26 MB of FF weights in VMEM; levels 2/3 move few
         # bytes anyway — XLA keeps them
         return False, 0
-    block_m = 256 if c <= 320 else 128
-    if m % block_m != 0 or m < 2 * block_m:
-        return False, 0
-    return True, block_m
+    inner = 4 * c
+    itm = 2 if dtype == jnp.bfloat16 else 4
+    for block_m in (512, 256, 128):
+        if m % block_m != 0 or m < 2 * block_m:
+            continue
+        # weights + fp32 (TM, 2*inner) intermediate + io tiles (x2 buffered)
+        vmem = 3 * c * inner * itm + block_m * 2 * inner * 4 \
+            + block_m * inner * itm + 4 * block_m * c * itm
+        if vmem < 14.5 * 1024 * 1024:
+            return True, block_m
+    return False, 0
 
 
 # --------------------------------------------------------------------------
@@ -348,11 +355,12 @@ def supports_attn(m: int, sk: int, c: int, num_heads: int, dtype) -> tuple:
     d = c // num_heads
     dp = -(-d // HEAD_PAD) * HEAD_PAD
     hdp = num_heads * dp
-    block_m = 512 if sk <= 512 else 256
-    block_m = min(block_m, m)
-    if m % block_m != 0:
-        return False, 0
     itm = 2 if dtype == jnp.bfloat16 else 4
-    vmem = (2 * c * hdp + 2 * sk * hdp + 2 * block_m * c
-            + block_m * hdp) * itm + block_m * sk * 4
-    return vmem < 12 * 1024 * 1024, block_m
+    for block_m in (512, 256, 128):
+        if block_m > m or m % block_m != 0:
+            continue
+        vmem = (2 * c * hdp + 2 * sk * hdp + 4 * block_m * c
+                + block_m * hdp) * itm + block_m * sk * 4
+        if vmem < 13 * 1024 * 1024:
+            return True, block_m
+    return False, 0

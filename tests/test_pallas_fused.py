@@ -152,11 +152,11 @@ def test_pad_heads_roundtrip(rng):
 
 def test_supports_gates():
     ok, bm = supports_ff(24 * 1024, 320, jnp.bfloat16)
-    assert ok and bm == 256
+    assert ok and bm in (128, 256, 512) and 24 * 1024 % bm == 0
     assert not supports_ff(24 * 1024, 1280, jnp.bfloat16)[0]
     assert not supports_ff(100, 320, jnp.bfloat16)[0]
     ok, bm = supports_attn(12 * 1024, 1024, 320, 8, jnp.bfloat16)
-    assert ok and bm == 256
+    assert ok and bm in (128, 256, 512) and 12 * 1024 % bm == 0
     ok, _ = supports_attn(1024, 128, 320, 8, jnp.bfloat16)
     assert ok
     assert not supports_attn(1000, 128, 320, 8, jnp.bfloat16)[0]

@@ -2,10 +2,14 @@
 
 Reports, for each module at each UNet resolution, the XLA-compiled
 cost_analysis (flops / HBM bytes accessed) plus wall time.  On a
-remote-tunnel device the wall times of sub-millisecond modules measure
-dispatch latency, not kernels — the bytes column is the trustworthy
-signal there (the UNet eval is bandwidth-bound: r2 measured 4.79 TF vs
-52 GB accessed per batch-2 eval, ~66% of the HBM roofline).
+remote-tunnel device the WALL COLUMN IS JUNK: each execute RPC costs
+~2-40 ms scaling with the argument-tree leaf count (param-heavy
+transformers read ~440 ms/iter, param-light resnets ~4 ms), so only
+(a) fori_loop-chained iterations inside ONE jit (tools/kernel_bench.py)
+and (b) full-program runs (bench.py) measure device time.  The bytes
+column remains the per-module traffic signal, with one caveat: Pallas
+kernels' "bytes accessed" counts block refetches the hardware pipeline
+skips for constant index maps, so fused modules are over-counted.
 
 Run: python tools/profile_components.py [--full]  (--full adds the whole
 UNet forward; ~10 min first compile through the axon tunnel).
@@ -41,8 +45,12 @@ def analyze(name, mod, *args, n=10):
     t0 = time.perf_counter()
     for _ in range(n):
         out = comp(params, *args)
-    jax.block_until_ready(out)
+    # materialize a scalar, not just block_until_ready: an errored buffer
+    # chain (silent OOM) "completes" instantly and the walls turn absurd
+    # (CLAUDE.md) — the error only surfaces at transfer
+    s = float(jax.tree.leaves(out)[0].astype(jnp.float32).sum())
     dt = (time.perf_counter() - t0) / n * 1e3
+    assert np.isfinite(s), s
     flops = ca.get("flops", 0.0)
     byts = ca.get("bytes accessed", 0.0)
     print(f"{name:34s} flops {flops/1e9:8.1f}G  bytes {byts/1e9:7.3f}GB  "
