@@ -345,6 +345,98 @@ def _attn_bwd(eps, num_heads, kv_len, block_m, res, g):
 fused_ln_attn.defvjp(_attn_fwd, _attn_bwd)
 
 
+# --------------------------------------------------------------------------
+# fused FFInflatedConv 3-tap temporal mix:
+#   out = y + y0 @ k_head + y_{f-1} @ k_prev + y_f @ k_curr + bias
+# (prev of frame 0 is frame 0 itself — the concat-shift semantics of the
+# reference, avgen/models/unets/utils.py:43-52).  One pallas_call replaces
+# 3 XLA matmul launches + a shifted-copy concat + chained adds; the frame
+# tiles are read via three index maps (current / clamped-prev / frame 0).
+# --------------------------------------------------------------------------
+
+def _mix_kernel(yc_ref, yp_ref, y0_ref, kh_ref, kp_ref, kc_ref, b_ref,
+                o_ref):
+    yc = yc_ref[0, 0]                                # (TN, C)
+    yp = yp_ref[0, 0]
+    y0 = y0_ref[0, 0]
+    dn = (((1,), (0,)), ((), ()))
+    mix = jax.lax.dot_general(y0, kh_ref[...], dn,
+                              preferred_element_type=_F32)
+    mix += jax.lax.dot_general(yp, kp_ref[...], dn,
+                               preferred_element_type=_F32)
+    mix += jax.lax.dot_general(yc, kc_ref[...], dn,
+                               preferred_element_type=_F32)
+    o_ref[0, 0] = (yc.astype(_F32) + mix
+                   + b_ref[...].astype(_F32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def _ff_mix_flat(y, kh, kp, kc, bias, block_n: int):
+    b, f, n, c = y.shape
+    grid = (b, f, n // block_n)
+    blk = (1, 1, block_n, c)
+    return pl.pallas_call(
+        _mix_kernel,
+        out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(blk, lambda b_, f_, i: (b_, f_, i, 0)),
+            pl.BlockSpec(blk,
+                         lambda b_, f_, i: (b_, jnp.maximum(f_ - 1, 0), i, 0)),
+            pl.BlockSpec(blk, lambda b_, f_, i: (b_, 0, i, 0)),
+            pl.BlockSpec((c, c), lambda b_, f_, i: (0, 0)),
+            pl.BlockSpec((c, c), lambda b_, f_, i: (0, 0)),
+            pl.BlockSpec((c, c), lambda b_, f_, i: (0, 0)),
+            pl.BlockSpec((1, c), lambda b_, f_, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(blk, lambda b_, f_, i: (b_, f_, i, 0)),
+    )(y, y, y, kh, kp, kc, bias)
+
+
+def _ff_mix_reference(y, kh, kp, kc, bias):
+    """XLA composite: identical math to the FFInflatedConv mix path."""
+    head = y[:, 0:1] @ kh.astype(y.dtype)
+    zp = y @ kp.astype(y.dtype)
+    prev = jnp.concatenate([zp[:, 0:1], zp[:, :-1]], axis=1)
+    return y + head + prev + (y @ kc.astype(y.dtype)) \
+        + bias.astype(y.dtype).reshape(1, 1, 1, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_ff_mix(y, kh, kp, kc, bias, block_n: int):
+    """y (B, F, N, C) -> y + first/prev/current 3-tap temporal linear mix."""
+    return _ff_mix_flat(y, kh, kp, kc, bias, block_n)
+
+
+def _mix_fwd(y, kh, kp, kc, bias, block_n):
+    return _ff_mix_flat(y, kh, kp, kc, bias, block_n), (y, kh, kp, kc, bias)
+
+
+def _mix_bwd(block_n, res, g):
+    y, kh, kp, kc, bias = res
+    _, vjp = jax.vjp(
+        lambda *a: _ff_mix_reference(*a).astype(y.dtype), y, kh, kp, kc,
+        bias)
+    return vjp(g.astype(y.dtype))
+
+
+fused_ff_mix.defvjp(_mix_fwd, _mix_bwd)
+
+
+def supports_mix(f: int, n: int, c: int, dtype) -> tuple:
+    """(ok, block_n) for fused_ff_mix."""
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False, 0
+    itm = 2 if dtype == jnp.bfloat16 else 4
+    for block_n in (1024, 512, 256, 128, 64):
+        if block_n > n or n % block_n != 0:
+            continue
+        vmem = 3 * c * c * itm + 5 * block_n * c * max(itm, 4)
+        if vmem < 13 * 1024 * 1024:
+            return True, block_n
+    return False, 0
+
+
 def supports_attn(m: int, sk: int, c: int, num_heads: int, dtype) -> tuple:
     """(ok, block_m) gate for fused_ln_attn.  VMEM: two head-padded
     projection weights + K/V (Sk, H*Dp) + q tile + per-head logits."""

@@ -184,3 +184,43 @@ def test_transformer_block_fused_matches_unfused(rng, monkeypatch):
         got = blk.apply(params, x, text, audio, None, idx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-5, rtol=5e-5)
+
+
+def test_ff_mix_kernel_matches_reference(rng):
+    from asva_tpu.ops.pallas_fused import (_ff_mix_reference, fused_ff_mix,
+                                           supports_mix)
+    b, f, n, c = 2, 4, 256, 64
+    y = jnp.asarray(rng.standard_normal((b, f, n, c)) * 0.1, jnp.float32)
+    kh = jnp.asarray(rng.standard_normal((c, c)) * 0.05, jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((c, c)) * 0.05, jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((c, c)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((1, c)) * 0.05, jnp.float32)
+    ok, bn = supports_mix(f, n, c, jnp.float32)
+    assert ok
+    with pltpu.force_tpu_interpret_mode():
+        o1 = fused_ff_mix(y, kh, kp, kc, bias, bn)
+    o2 = _ff_mix_reference(y, kh, kp, kc, bias)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ff_mix_vjp_falls_back(rng):
+    from asva_tpu.ops.pallas_fused import (_ff_mix_reference, fused_ff_mix)
+    b, f, n, c = 1, 3, 128, 32
+    y = jnp.asarray(rng.standard_normal((b, f, n, c)) * 0.1, jnp.float32)
+    ws = [jnp.asarray(rng.standard_normal((c, c)) * 0.05, jnp.float32)
+          for _ in range(3)]
+    bias = jnp.zeros((1, c), jnp.float32)
+
+    def loss_k(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_ff_mix(*a, 128) ** 2)
+
+    def loss_r(*a):
+        return jnp.sum(_ff_mix_reference(*a) ** 2)
+
+    g1 = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(y, *ws, bias)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(y, *ws, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)

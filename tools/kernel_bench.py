@@ -47,6 +47,14 @@ def main():
     rng = np.random.default_rng(0)
     r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.05, DT)
     print(f"device: {jax.devices()[0]}  (N={N} chained iters/jit)")
+    if "--only-extra" in sys.argv:     # just the --modules/--resnet/--conv9
+        if "--modules" in sys.argv:
+            module_bench(rng)
+        if "--resnet" in sys.argv:
+            resnet_bench(rng)
+        if "--conv9" in sys.argv:
+            conv9_bench(rng)
+        return
 
     # ---- level-0 FF: (24576, 320) tokens, inner 1280 ----
     m, c = 24576, 320
@@ -130,6 +138,43 @@ def main():
         module_bench(rng)
     if "--resnet" in sys.argv:
         resnet_bench(rng)
+    if "--conv9" in sys.argv:
+        conv9_bench(rng)
+
+
+def conv9_bench(rng):
+    """Experiment: 3x3 SAME conv as 9 shifted matmuls vs XLA's conv op.
+    XLA's conv measures ~40 TFLOPS at (24,32,32,320)->320; plain matmuls
+    at these M/K/N shapes run ~2-3x faster."""
+    BF, H, W, C = 24, 32, 32, 320
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.05, DT)
+    x = r(BF, H, W, C)
+    w = r(3, 3, C, C)
+    b = r(C)
+
+    def conv9(x_, w_, b_):
+        xp = jnp.pad(x_, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = None
+        for dy in range(3):
+            for dx in range(3):
+                part = jax.lax.dot_general(
+                    xp[:, dy:dy + H, dx:dx + W, :], w_[dy, dx],
+                    (((3,), (0,)), ((), ())))
+                out = part if out is None else out + part
+        return out + b_
+
+    def convxla(x_, w_, b_):
+        y = jax.lax.conv_general_dilated(
+            x_, w_, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b_
+
+    o1 = conv9(x, w, b)
+    o2 = convxla(x, w, b)
+    diff = jnp.abs((o1 - o2).astype(jnp.float32)).max()
+    print(f"conv9 vs conv max diff: {float(diff):.4f}")
+    timeit("conv9  3x3 c320 (9 shifted matmuls)", conv9, x, w, b)
+    timeit("convop 3x3 c320 (lax.conv)", convxla, x, w, b)
 
 
 def resnet_bench(rng):
