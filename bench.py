@@ -6,10 +6,10 @@ full-size AudioUNet3D (inflated SD1.5, audio cross-attn + temporal attn)
 12 frames @ 256x256 (32x32 latents) DDIM-25 with audio CFG 4.0 / text CFG
 1.0 (the reference's headline eval setting -> 2-way CFG batch per step),
 and VAE decode of all 12 frames — in bf16 on one chip.  The default run
-measures batch 1 — the measured per-clip optimum on v5e-1 (r2 sweep:
-b1=0.606 > b2=0.583 > b4=0.552; pass --sweep to re-measure {1,2,4} after
-kernel changes).  The null-audio encoding is cached across calls (constant
-of the frozen tower), matching steady-state dataset sweeps.
+measures batches {1,2} and reports the better per-clip rate (b2 is the
+optimum after the fused-kernel work; pass --sweep to add b4).  The
+null-audio encoding is cached across calls (constant of the frozen
+tower), matching steady-state dataset sweeps.
 
 vs_baseline compares against an ESTIMATED A100 PyTorch fp16 reference
 throughput for lzhangbj/ASVA (the repo publishes no speed numbers;
@@ -187,10 +187,11 @@ def main():
     STEPS = 25
     F = 12              # frames; 256x256 pixels -> 32x32 latents
     AG = 4.0            # audio guidance (text guidance 1.0) -> k=2
-    # batch 1 is the per-clip optimum on v5e-1 (r2 sweep: b1=0.606 >
-    # b2=0.583 > b4=0.552 clips/s; the UNet already sees batch 24 of
-    # frame-slices) — pass --sweep to re-measure all three
-    BATCHES = (1, 2, 4) if "--sweep" in sys.argv else (1,)
+    # after the fused kernels + temporal pair-loop, batch 2 became the
+    # per-clip optimum (r2 late sweep: b2=0.790 > b1=0.770 > b4=0.753
+    # clips/s; pre-kernel it was b1) — default measures both, reports best;
+    # pass --sweep to add batch 4
+    BATCHES = (1, 2, 4) if "--sweep" in sys.argv else (1, 2)
 
     dtype = jnp.bfloat16
     unet = AudioUNet3D(UNet3DConfig(), dtype=dtype)

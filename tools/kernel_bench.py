@@ -6,7 +6,16 @@ data dependency), so per-op tunnel dispatch (~2 ms) and queueing effects
 drop out; a scalar is materialized after the loop so silently-errored
 buffer chains surface instead of reporting absurd times (CLAUDE.md).
 
-Run: python tools/kernel_bench.py [--n 50]
+CAVEAT: the loop itself carries a fixed per-iteration cost (~0.65 ms/iter
+for a 15.7 MB bf16 carry on axon) — a trivial `x*1.0001` calibration row
+is printed first; subtract it mentally (or compare variants, where it
+cancels).  Whole-module rows are the reliable per-level eval budget;
+STANDALONE sub-layer rows can diverge wildly from their in-module cost
+(XLA picks different layouts/fusions for the loop carry — the temporal
+einsum read 1600 ms standalone vs ~2 ms in-module).
+
+Run: python tools/kernel_bench.py [--n 50] [--modules] [--resnet]
+     [--conv9] [--only-extra]
 """
 import os
 import sys
@@ -47,6 +56,9 @@ def main():
     rng = np.random.default_rng(0)
     r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.05, DT)
     print(f"device: {jax.devices()[0]}  (N={N} chained iters/jit)")
+    xcal = r(2, 12, 32, 32, 320)
+    timeit("CALIBRATION x*1.0001 (15.7MB carry)",
+           lambda v: v * 1.0001, xcal)
     if "--only-extra" in sys.argv:     # just the --modules/--resnet/--conv9
         if "--modules" in sys.argv:
             module_bench(rng)
