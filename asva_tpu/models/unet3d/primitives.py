@@ -177,16 +177,13 @@ class FFSpatialAttention(nn.Module):
                                             x.dtype)
         if pallas_fused.enabled() and ok and inner == c:
             h0 = ln(x[:, 0])                           # (b, n, c) normed f0
-            k0 = pallas_fused.pad_heads_tokens(proj.to_k(h0), self.num_heads)
-            v0 = pallas_fused.pad_heads_tokens(proj.to_v(h0), self.num_heads)
-            wq = pallas_fused.pad_heads(
-                proj.to_q.kernel.astype(self.dtype), self.num_heads, axis=1)
-            wo = pallas_fused.pad_heads(
-                proj.to_out.kernel.astype(self.dtype), self.num_heads, axis=0)
             out = pallas_fused.fused_ln_attn(
                 x.reshape(b, f * n, c), ln.scale[None], ln.bias[None],
-                wq, wo, proj.to_out.bias[None].astype(self.dtype),
-                k0, v0, ln.epsilon, self.num_heads, None, bm)
+                proj.to_q.kernel.astype(self.dtype),
+                proj.to_out.kernel.astype(self.dtype),
+                proj.to_out.bias[None].astype(self.dtype),
+                proj.to_k(h0), proj.to_v(h0),
+                ln.epsilon, self.num_heads, None, bm)
             return out.reshape(b, f, n, c)
         return x + self._attend(ln(x), proj)
 
@@ -256,23 +253,15 @@ class CrossAttention(nn.Module):
                     k = jnp.take(proj.to_k(context), idx, axis=1)
                     v = jnp.take(proj.to_v(context), idx, axis=1)
                     pad = [(0, 0), (0, 0), (0, sk - m_tok), (0, 0)]
-                    k = pallas_fused.pad_heads_tokens(
-                        jnp.pad(k, pad), self.num_heads)
-                    v = pallas_fused.pad_heads_tokens(
-                        jnp.pad(v, pad), self.num_heads)
-                    hdp = k.shape[-1]
+                    k = jnp.pad(k, pad).reshape(b * f, sk, inner)
+                    v = jnp.pad(v, pad).reshape(b * f, sk, inner)
                     out = pallas_fused.fused_ln_attn(
                         x.reshape(b * f, n, c),
                         ln.scale[None], ln.bias[None],
-                        pallas_fused.pad_heads(
-                            proj.to_q.kernel.astype(self.dtype),
-                            self.num_heads, axis=1),
-                        pallas_fused.pad_heads(
-                            proj.to_out.kernel.astype(self.dtype),
-                            self.num_heads, axis=0),
+                        proj.to_q.kernel.astype(self.dtype),
+                        proj.to_out.kernel.astype(self.dtype),
                         proj.to_out.bias[None].astype(self.dtype),
-                        k.reshape(b * f, sk, hdp), v.reshape(b * f, sk, hdp),
-                        ln.epsilon, self.num_heads, m_tok, bm)
+                        k, v, ln.epsilon, self.num_heads, m_tok, bm)
                     return out.reshape(b, f, n, c)
             else:
                 m_tok = int(context.shape[1])
@@ -281,19 +270,13 @@ class CrossAttention(nn.Module):
                     f * n, sk, inner, self.num_heads, x.dtype)
                 if ok:
                     pad = [(0, 0), (0, sk - m_tok), (0, 0)]
-                    k = pallas_fused.pad_heads_tokens(
-                        jnp.pad(proj.to_k(context), pad), self.num_heads)
-                    v = pallas_fused.pad_heads_tokens(
-                        jnp.pad(proj.to_v(context), pad), self.num_heads)
+                    k = jnp.pad(proj.to_k(context), pad)
+                    v = jnp.pad(proj.to_v(context), pad)
                     out = pallas_fused.fused_ln_attn(
                         x.reshape(b, f * n, c),
                         ln.scale[None], ln.bias[None],
-                        pallas_fused.pad_heads(
-                            proj.to_q.kernel.astype(self.dtype),
-                            self.num_heads, axis=1),
-                        pallas_fused.pad_heads(
-                            proj.to_out.kernel.astype(self.dtype),
-                            self.num_heads, axis=0),
+                        proj.to_q.kernel.astype(self.dtype),
+                        proj.to_out.kernel.astype(self.dtype),
                         proj.to_out.bias[None].astype(self.dtype),
                         k, v, ln.epsilon, self.num_heads,
                         m_tok if m_tok < sk else None, bm)

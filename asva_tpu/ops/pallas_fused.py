@@ -23,11 +23,13 @@ Kernels:
       spatial attention (K/V projected once from frame 0 outside the kernel
       — 1.3 MB vs the 15.7 MB q/o round trips it saves) and the audio/text
       cross-attentions (25/77 context tokens zero-padded to one lane tile
-      and length-masked).  Heads use a PADDED lane layout: every head's
-      head_dim-40 slice is padded to a 128-lane slot (weights padded
-      outside, zeros contribute nothing to the dot products) so in-kernel
-      head slicing is lane-aligned; the extra MXU work is ~9 GFLOP against
-      a 4.8 TF eval.
+      and length-masked).  Heads are sliced at their NATIVE head_dim (40)
+      lane offsets: Mosaic's unaligned-slice relayouts measure cheaper
+      than padding every head to a 128-lane slot (narrow 0.85 vs padded
+      1.01 ms real for level-0 attn1 — the padded layout pays 3.2x MXU
+      flops).  pad_heads/pad_heads_tokens are kept for callers that want
+      the padded layout; the kernel is layout-agnostic (it slices
+      whatever per-head slot width the weights define).
 
 Backward: custom_vjp falls back to jax.vjp of the numerically-equivalent
 XLA composite (same pattern as ops/pallas_attn.py) — training remats the
@@ -444,15 +446,12 @@ def supports_attn(m: int, sk: int, c: int, num_heads: int, dtype) -> tuple:
         return False, 0
     if sk % 128 != 0 or c % num_heads != 0:
         return False, 0
-    d = c // num_heads
-    dp = -(-d // HEAD_PAD) * HEAD_PAD
-    hdp = num_heads * dp
     itm = 2 if dtype == jnp.bfloat16 else 4
     for block_m in (512, 256, 128):
         if block_m > m or m % block_m != 0:
             continue
-        vmem = (2 * c * hdp + 2 * sk * hdp + 4 * block_m * c
-                + block_m * hdp) * itm + block_m * sk * 4
+        vmem = (2 * c * c + 2 * sk * c + 4 * block_m * c
+                + block_m * c) * itm + block_m * sk * 4
         if vmem < 13 * 1024 * 1024:
             return True, block_m
     return False, 0

@@ -224,3 +224,38 @@ def test_ff_mix_vjp_falls_back(rng):
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_transformer_block_fused_grads_match(rng, monkeypatch):
+    """Gradients through the fused block (custom_vjp -> XLA composite
+    backward) match the unfused path — the training contract."""
+    import asva_tpu.ops.pallas_fused as pf
+    from asva_tpu.models.imagebind_audio import segment_token_indices
+    from asva_tpu.models.unet3d.transformer import (
+        SpatioAudioTempTransformerBlock)
+
+    b, f, n, c, heads = 1, 4, 256, 320, 8
+    blk = SpatioAudioTempTransformerBlock(c, heads, c // heads)
+    x = jnp.asarray(rng.standard_normal((b, f, n, c)) * 0.1, jnp.float32)
+    text = jnp.asarray(rng.standard_normal((b, 77, 768)) * 0.1, jnp.float32)
+    audio = jnp.asarray(rng.standard_normal((b, 229, 768)) * 0.1,
+                        jnp.float32)
+    idx = jnp.asarray(segment_token_indices(f, (12, 19)))
+    params = blk.init(jax.random.PRNGKey(0), x, text, audio, None, idx)
+
+    def loss(p, x_):
+        return jnp.sum(blk.apply(p, x_, text, audio, None, idx) ** 2)
+
+    gp_ref, gx_ref = jax.grad(loss, argnums=(0, 1))(params, x)
+    monkeypatch.setattr(pf, "FORCE", True)
+    with pltpu.force_tpu_interpret_mode():
+        gp_fused, gx_fused = jax.grad(loss, argnums=(0, 1))(params, x)
+    def close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-5,
+                                   rtol=2e-5)
+
+    close(gx_fused, gx_ref)
+    for a, b_ in zip(jax.tree.leaves(gp_fused), jax.tree.leaves(gp_ref)):
+        close(a, b_)

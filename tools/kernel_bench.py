@@ -102,6 +102,14 @@ def main():
            lambda x_, *a: pf._ln_attn_reference(*(x_,) + a, 1e-5, heads,
                                                 None),
            x, ls, lb, wq, wo_a, bo, k, v)
+    # EXPERIMENT: unpadded head slots (d=40 lane slices) — trades the 3.2x
+    # MXU padding flops for Mosaic's unaligned-slice relayouts
+    wq_n, wo_n = r(c, c), r(c, c)
+    k_n, v_n = r(g, sk, c), r(g, sk, c)
+    timeit("attn1 fused  c320 sk1024 (narrow d=40)",
+           lambda x_, *a: pf.fused_ln_attn(x_, *a, 1e-5, heads, None, bm),
+           x, ls, lb, wq_n, wo_n, bo, k_n, v_n,
+           bytes_floor=(g * m * c * 2 * 2))
 
     # ---- level-0 audio cross: groups=24, m=1024, sk=128 (25 real) ----
     g2, m2, sk2 = 24, 1024, 128
