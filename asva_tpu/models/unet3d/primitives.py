@@ -173,17 +173,22 @@ class FFSpatialAttention(nn.Module):
             return self._attend(x, proj)
 
         from ...ops import pallas_fused
-        ok, bm = pallas_fused.supports_attn(f * n, n, inner, self.num_heads,
+        sk = -(-n // 128) * 128      # frame-0 KV padded to a lane multiple
+        ok, bm = pallas_fused.supports_attn(f * n, sk, inner, self.num_heads,
                                             x.dtype)
         if pallas_fused.enabled() and ok and inner == c:
             h0 = ln(x[:, 0])                           # (b, n, c) normed f0
+            k0, v0 = proj.to_k(h0), proj.to_v(h0)
+            if sk != n:
+                pad = [(0, 0), (0, sk - n), (0, 0)]
+                k0, v0 = jnp.pad(k0, pad), jnp.pad(v0, pad)
             out = pallas_fused.fused_ln_attn(
                 x.reshape(b, f * n, c), ln.scale[None], ln.bias[None],
                 proj.to_q.kernel.astype(self.dtype),
                 proj.to_out.kernel.astype(self.dtype),
                 proj.to_out.bias[None].astype(self.dtype),
-                proj.to_k(h0), proj.to_v(h0),
-                ln.epsilon, self.num_heads, None, bm)
+                k0, v0, ln.epsilon, self.num_heads,
+                n if n < sk else None, bm)
             return out.reshape(b, f, n, c)
         return x + self._attend(ln(x), proj)
 
