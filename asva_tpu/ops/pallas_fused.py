@@ -354,6 +354,11 @@ fused_ln_attn.defvjp(_attn_fwd, _attn_bwd)
 # reference, avgen/models/unets/utils.py:43-52).  One pallas_call replaces
 # 3 XLA matmul launches + a shifted-copy concat + chained adds; the frame
 # tiles are read via three index maps (current / clamped-prev / frame 0).
+#
+# STATUS: tested but UNWIRED — measured on v5e, XLA runs the in-module mix
+# nearly free (ffconv 1.01 ms vs plain conv 0.99 ms chained), so the
+# kernel buys nothing today.  Kept as the ready fallback if a future
+# frame-count/layout change makes the mix expensive again.
 # --------------------------------------------------------------------------
 
 def _mix_kernel(yc_ref, yp_ref, y0_ref, kh_ref, kp_ref, kc_ref, b_ref,

@@ -5,10 +5,18 @@ in-context per-op breakdown, since chained micro-benches carry ~0.65
 ms/iter harness overhead and standalone modules compile differently than
 in-program).
 
-Run: python tools/trace_eval.py [--batch 4]
-Prints per-eval time grouped by HLO category plus the top ops.
+Run: python tools/trace_eval.py [--batch 4] [--train]
+Prints per-eval (or per-train-step) time grouped by HLO category plus
+the top ops.
 
-r2 findings at batch 4 (CFG pair x 2 clips), 94.7 ms/eval:
+r2 training-step findings (batch 4, 499.5 ms device): convolution
+fusions 350.7 ms / 170.7 GB (fwd + highres-remat recompute + dgrad +
+the per-step VAE encode of 48 frames @256^2 that the reference protocol
+requires), pallas custom-calls 54.4, loop fusions 45.3, formatting+
+copies ~41.  Training is conv-compute-bound; 1.84 steps/s = 2.4x est.
+A100.
+
+r2 eval findings at batch 4 (CFG pair x 2 clips), 94.7 ms/eval:
   convolution fusion 51.7 ms (convs are ~half the model FLOPs and run at
   84-139 TFLOPS — up-path concat convs with 640/960 in-channels are the
   heavy ones; an input-materialization barrier experiment changed
@@ -32,16 +40,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def _eval_step(B, F, DT):
     from asva_tpu.models.imagebind_audio import segment_token_indices
     from asva_tpu.models.unet3d import AudioUNet3D, UNet3DConfig
     from __graft_entry__ import _materialize
 
-    B = 4
-    if "--batch" in sys.argv:
-        B = int(sys.argv[sys.argv.index("--batch") + 1])
-    F, N_ITERS = 12, 3
-    DT = jnp.bfloat16
     unet = AudioUNet3D(UNet3DConfig(), dtype=DT)
     rng = np.random.default_rng(0)
     sample = jnp.asarray(rng.standard_normal((B, F, 32, 32, 4)) * 0.1, DT)
@@ -52,12 +55,76 @@ def main():
     params = _materialize(jax.eval_shape(lambda: unet.init(
         jax.random.PRNGKey(0), sample, t, text, audio, None, idx)))
     fn = jax.jit(lambda p, s: unet.apply(p, s, t, text, audio, None, idx))
-    jax.block_until_ready(fn(params, sample))
+
+    def run():
+        return fn(params, sample)
+    return run
+
+
+def _train_step(B, F, DT):
+    """Full AVSyncD training step, same build as bench.py --train."""
+    from asva_tpu.models.imagebind_audio import (ImageBindAudioConfig,
+                                                 SegmaskAudioEncoder)
+    from asva_tpu.models.unet3d import AudioUNet3D, UNet3DConfig
+    from asva_tpu.models.vae import AutoencoderKL, VAEConfig
+    from asva_tpu.training import (AnimationTrainer, TrainState,
+                                   build_optimizer, trainable_mask)
+    from __graft_entry__ import _materialize
+
+    unet = AudioUNet3D(UNet3DConfig(remat=True, remat_policy="highres"),
+                       dtype=DT)
+    vae = AutoencoderKL(VAEConfig(), dtype=DT)
+    audio_enc = SegmaskAudioEncoder(ImageBindAudioConfig(), n_segment=F,
+                                    dtype=DT)
+    unet_params = _materialize(jax.eval_shape(lambda: unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, F, 32, 32, 4), DT),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768), DT),
+        jnp.zeros((1, 229, 768), DT), jnp.ones((1, F, 229), bool))))
+    vae_params = _materialize(jax.eval_shape(lambda: vae.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3), DT),
+        jax.random.PRNGKey(1))), seed=1)
+    audio_params = _materialize(jax.eval_shape(lambda: audio_enc.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 128, 204, 1), DT))), seed=2)
+    trainer = AnimationTrainer(
+        unet=unet, vae=vae, audio_encoder=audio_enc, vae_params=vae_params,
+        audio_encoder_params=audio_params,
+        null_text_encoding=jnp.zeros((1, 77, 768), DT))
+    tx = build_optimizer(1e-4, mask=trainable_mask(unet_params))
+    state = TrainState(jnp.zeros((), jnp.int32), unet_params,
+                       tx.init(unet_params))
+    # donate=True: without it two 4.7 GB param+opt states are live and the
+    # profiled step OOMs (CLAUDE.md); the state is threaded through a holder
+    step = trainer.make_train_step(tx, donate=True)
+    rng = np.random.default_rng(0)
+    batch = {
+        "videos": jnp.asarray(rng.random((B, F, 256, 256, 3)), jnp.float32),
+        "mels": jnp.asarray(rng.standard_normal((B, 128, 204, 1)),
+                            jnp.float32),
+        "text_encodings": jnp.asarray(rng.standard_normal((B, 77, 768)),
+                                      jnp.float32),
+    }
+    holder = {"state": state}
+
+    def run():
+        s, loss = step(holder["state"], batch, jax.random.PRNGKey(0))
+        holder["state"] = s
+        return loss
+    return run
+
+
+def main():
+    B = 4
+    if "--batch" in sys.argv:
+        B = int(sys.argv[sys.argv.index("--batch") + 1])
+    F, N_ITERS = 12, 3
+    DT = jnp.bfloat16
+    run = (_train_step if "--train" in sys.argv else _eval_step)(B, F, DT)
+    jax.block_until_ready(run())
 
     tracedir = tempfile.mkdtemp(prefix="asva_trace_")
     with jax.profiler.trace(tracedir):
         for _ in range(N_ITERS):
-            out = fn(params, sample)
+            out = run()
         jax.block_until_ready(out)
 
     path = sorted(glob.glob(f"{tracedir}/plugins/profile/*/*.trace.json.gz"))[-1]
