@@ -61,7 +61,9 @@ class UNet3DConfig:
     # (faster backward, but OOMs the 1.2B UNet at batch 4 on one 16 GB
     # chip); "highres": remat ONLY the two highest-resolution levels —
     # the deep 8x8/4x4 levels hold ~half the FLOPs but tiny activations,
-    # so skipping their recompute costs little memory
+    # so skipping their recompute costs little memory; "l0": remat only
+    # the 32x32 level (stores level-1 activations too — more memory than
+    # highres, less recompute)
     remat_policy: str = "full"
 
     @classmethod
@@ -118,6 +120,8 @@ class AudioUNet3D(nn.Module):
                     dots_with_no_batch_dims_saveable
                 return nn.remat(cls_, policy=policy)
             if cfg.remat_policy == "highres" and level >= 2:
+                return cls_
+            if cfg.remat_policy == "l0" and level >= 1:
                 return cls_
             return nn.remat(cls_)
 

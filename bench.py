@@ -53,7 +53,7 @@ def bench_train():
 
     B, F = 4, 12
     policy = "highres"
-    for p in ("dots", "highres", "full"):
+    for p in ("dots", "highres", "full", "l0"):
         if f"--remat_{p}" in sys.argv:
             policy = p
     unet = AudioUNet3D(UNet3DConfig(remat=True, remat_policy=policy),
