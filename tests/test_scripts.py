@@ -142,3 +142,83 @@ optim:
         env=ENV, capture_output=True, text=True, timeout=1500)
     assert out.returncode == 0, out.stderr[-3000:]
     assert os.path.isdir(f"{tmp_path}/sync/ckpts/checkpoint-2")
+
+
+def test_animation_serve_smoke(tmp_path):
+    """Serving daemon: builds the stack once (tiny unet via --config_file),
+    answers /healthz, serves one /generate request, exits after
+    --max_requests."""
+    import http.client
+    import json as _json
+    import time as _time
+
+    from PIL import Image
+    from scipy.io import wavfile
+
+    cfg = """
+model:
+  scheduler: {beta_start: 0.00085, beta_end: 0.012}
+  audio_encoder: {n_segment: 4}
+  unet:
+    down_block_types: [FFSpatioAudioTempCrossAttnDownBlock3D, FFSpatioTempResDownBlock3D]
+    up_block_types: [FFSpatioTempResUpBlock3D, FFSpatioAudioTempCrossAttnUpBlock3D]
+    mid_block_type: FFSpatioAudioTempCrossAttnUNetMidBlock3D
+    block_out_channels: [32, 64]
+    layers_per_block: 1
+    norm_num_groups: 8
+    attention_head_dim: 2
+"""
+    cfg_path = tmp_path / "serve.yaml"
+    cfg_path.write_text(cfg)
+    rng = np.random.default_rng(0)
+    img_path = str(tmp_path / "cond.png")
+    Image.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8)).save(
+        img_path)
+    wav_path = str(tmp_path / "cond.wav")
+    t = np.arange(int(3.0 * 16000)) / 16000
+    wavfile.write(wav_path, 16000,
+                  (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+
+    port = 18951
+    proc = subprocess.Popen(
+        [sys.executable, f"{REPO}/scripts/animation_serve.py",
+         "--port", str(port), "--config_file", str(cfg_path),
+         "--sd_root", "", "--null_text_encoding_path", "",
+         "--image_size", "32", "32", "--max_requests", "1"],
+        env=ENV, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        deadline = _time.time() + 600
+        up = False
+        while _time.time() < deadline:
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=5)
+                conn.request("GET", "/healthz")
+                r = conn.getresponse()
+                assert r.status == 200
+                up = True
+                break
+            except (ConnectionError, OSError):
+                if proc.poll() is not None:
+                    out = proc.stdout.read()
+                    raise AssertionError(f"server died:\n{out[-3000:]}")
+                _time.sleep(2.0)
+        assert up, "server never came up"
+
+        body = _json.dumps({
+            "image_path": img_path, "audio_path": wav_path,
+            "num_clips": 1, "num_inference_steps": 2, "sampler": "ddim",
+            "save_template": str(tmp_path / "srv")})
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=900)
+        conn.request("POST", "/generate", body,
+                     {"Content-Type": "application/json"})
+        resp = _json.loads(conn.getresponse().read())
+        assert resp["ok"], resp
+        assert resp["outputs"], resp
+        assert os.path.exists(resp["outputs"][0])
+        proc.wait(timeout=120)   # --max_requests 1 => clean exit
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            proc.wait(timeout=30)
