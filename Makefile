@@ -1,4 +1,4 @@
-.PHONY: test bench bench-train media
+.PHONY: test bench bench-train bench-sync profile trace serve media
 
 media:
 	$(MAKE) -C asva_tpu/data/media
@@ -11,3 +11,15 @@ bench:
 
 bench-train:
 	python bench.py --train
+
+bench-sync:
+	python bench.py --sync
+
+profile:
+	python tools/profile_components.py
+
+trace:
+	python tools/trace_eval.py
+
+serve:
+	python scripts/animation_serve.py --warmup
