@@ -72,7 +72,10 @@ class AudioVideoDataset:
         self.clip_duration = video_num_frame / video_fps
         self.img_size = img_size
         self.randflip = randflip
-        self.rng = random.Random(seed)
+        # deterministic pipeline: clip starts/flips derive from
+        # (seed, epoch, index), independent of worker-thread interleaving
+        self.seed = 0 if seed is None else seed
+        self.epoch = 0
 
         self.class_mapping = None
         if class_mapping_json:
@@ -85,6 +88,14 @@ class AudioVideoDataset:
 
     def __len__(self):
         return len(self.examples)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-epoch RNG stream (called by DataLoader)."""
+        self.epoch = epoch
+
+    def _item_rng(self, index: int) -> random.Random:
+        return random.Random(
+            (self.seed * 1_000_003 + self.epoch) * 1_000_003 + index)
 
     def _class_text_encoding(self, index) -> Optional[np.ndarray]:
         if self.text_encodings is None:
@@ -106,11 +117,12 @@ class AudioVideoDataset:
         else:
             path, scene_start, av_duration = entry, 0.0, None
 
+        rng = self._item_rng(index)
         with MediaReader(osp.join(self.data_root, path)) as r:
             if av_duration is None:
                 av_duration = min(r.video_duration, r.audio_duration)
             if self.mode == "train":
-                start = max(0.0, self.rng.uniform(
+                start = max(0.0, rng.uniform(
                     0.0, av_duration - self.clip_duration)) + scene_start
             else:
                 start = max(0.0, (av_duration - self.clip_duration) / 2.0) \
@@ -119,7 +131,7 @@ class AudioVideoDataset:
             frames = r.read_video_clip(start, self.clip_duration,
                                        self.video_fps, self.video_num_frame)
             flip = (self.mode == "train" and self.randflip
-                    and self.rng.randint(0, 1) == 1)
+                    and rng.randint(0, 1) == 1)
             video = np.asarray(sd_video_transform(
                 frames.astype(np.float32) / 255.0, self.img_size, flip=flip,
                 normalize=False))

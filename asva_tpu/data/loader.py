@@ -4,6 +4,15 @@ Replaces torch DataLoader workers in the reference's input path: decode is
 released-GIL C++ (libav) so a thread pool pipelines well; batches are
 stacked numpy dicts ready for `jax.device_put` with a batch sharding.
 Supports per-host sharding for multi-host DP (shard=(host_index, n_hosts)).
+
+Determinism & resume: the shuffle order is a pure function of
+(seed, epoch); datasets exposing `set_epoch` get the current epoch so their
+per-item augmentation RNG is (seed, epoch, index)-derived — batches are
+identical for any num_workers.  The loader tracks (epoch, batch cursor);
+`state_dict()/load_state_dict()` let a resumed run skip the batches the
+crashed run already consumed instead of re-training on them (the
+reference's resume skips consumed steps within the epoch,
+scripts/animation_train.py:268-309).
 """
 from __future__ import annotations
 
@@ -28,7 +37,8 @@ class DataLoader:
         self.seed = seed
         self.shard = shard
         self.prefetch = prefetch
-        self.epoch = 0
+        self.epoch = 0        # epoch the NEXT __iter__ will (re)enter
+        self._cursor = 0      # batches already consumed within that epoch
 
     def __len__(self):
         idx, n = self.shard
@@ -36,6 +46,15 @@ class DataLoader:
         if self.drop_last:
             return per_host // self.batch_size
         return (per_host + self.batch_size - 1) // self.batch_size
+
+    # -- resume state --
+    def state_dict(self) -> dict:
+        return {"epoch": self.epoch, "cursor": self._cursor,
+                "seed": self.seed}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.epoch = int(state["epoch"])
+        self._cursor = int(state["cursor"])
 
     def _indices(self):
         order = list(range(len(self.dataset)))
@@ -46,11 +65,15 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[dict]:
         order = self._indices()
-        self.epoch += 1
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        # fast-forward past already-consumed batches (resume mid-epoch);
+        # skipping index lists costs nothing — no decode happens for them
+        batches = batches[self._cursor:]
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -82,6 +105,10 @@ class DataLoader:
                     break
                 if isinstance(item, Exception):
                     raise item
+                self._cursor += 1
                 yield item
+            # epoch fully drained -> next __iter__ starts the next epoch
+            self.epoch += 1
+            self._cursor = 0
         finally:
             stop.set()

@@ -83,10 +83,21 @@ class MultiPairAVDataset:
         self.shift_time = shift_time
         self.num_clips = num_clips
         self.sampling_type = sampling_type
-        self.rng = random.Random(seed)
+        # deterministic pipeline: clip starts/flips derive from
+        # (seed, epoch, index), independent of worker-thread interleaving
+        self.seed = 0 if seed is None else seed
+        self.epoch = 0
 
     def __len__(self):
         return len(self.examples)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-epoch RNG stream (called by DataLoader)."""
+        self.epoch = epoch
+
+    def _item_rng(self, index: int) -> random.Random:
+        return random.Random(
+            (self.seed * 1_000_003 + self.epoch) * 1_000_003 + index)
 
     def _clip_preprocess(self, frames: np.ndarray) -> np.ndarray:
         """uint8 (n, h, w, 3) -> CLIP-normalized square (n, s, s, 3)."""
@@ -113,6 +124,7 @@ class MultiPairAVDataset:
 
     def _load(self, index) -> dict:
         path = osp.join(self.data_root, self.examples[index])
+        rng = self._item_rng(index)
         k, f = self.num_clips, self.video_num_frames
         with MediaReader(path) as r:
             av_duration = min(r.video_duration, r.audio_duration)
@@ -121,12 +133,12 @@ class MultiPairAVDataset:
 
             lo, hi = 0.0, av_duration - self.clip_duration
             if self.sampling_type == "random-compact":
-                starts = random_compact_sample(self.rng, lo, hi, k,
+                starts = random_compact_sample(rng, lo, hi, k,
                                                self.shift_time)
             elif self.sampling_type == "center-compact":
                 starts = center_compact_sample(lo, hi, k, self.shift_time)
             elif self.sampling_type == "random":
-                starts = random_sample(self.rng, lo, hi, k, self.shift_time)
+                starts = random_sample(rng, lo, hi, k, self.shift_time)
             else:
                 starts = uniform_sample(lo, hi, k)
 
@@ -150,7 +162,7 @@ class MultiPairAVDataset:
                 (k, f, self.image_size, self.image_size, 3))
             if self.randflip:
                 for i in range(k):
-                    if self.rng.randint(0, 1):
+                    if rng.randint(0, 1):
                         videos[i] = videos[i, :, :, ::-1]
 
             # audio: one pass, slice per clip

@@ -50,11 +50,18 @@ def _group_stats_normalize(x: jnp.ndarray, num_groups: int, eps: float,
     # producer (one pass over x each) instead of materializing an fp32 copy
     s1 = jnp.sum(xr.astype(jnp.float32), axis=1)      # (K, C)
     s2 = jnp.sum(jnp.square(xr.astype(jnp.float32)), axis=1)
-    mean_g = (s1 @ ind) * denom                       # (K, G)
-    msq_g = (s2 @ ind) * denom
-    inv_g = jax.lax.rsqrt(msq_g - jnp.square(mean_g) + eps)
-    mean_c = mean_g @ ind.T                           # (K, C)
-    inv_c = inv_g @ ind.T
+    # the indicator dots MUST run in true fp32: the platform default uses
+    # bf16 passes, whose ~2^-9 relative error is amplified by the
+    # E[x^2]-E[x]^2 cancellation (low-variance/large-mean groups could even
+    # go negative -> NaN rsqrt).  These are tiny (K,C)x(C,G) matmuls —
+    # HIGHEST precision costs nothing.
+    hi = jax.lax.Precision.HIGHEST
+    mean_g = jnp.matmul(s1, ind, precision=hi) * denom        # (K, G)
+    msq_g = jnp.matmul(s2, ind, precision=hi) * denom
+    var_g = jnp.maximum(msq_g - jnp.square(mean_g), 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.matmul(mean_g, ind.T, precision=hi)          # (K, C)
+    inv_c = jnp.matmul(inv_g, ind.T, precision=hi)
     y = (xr.astype(jnp.float32) - mean_c[:, None, :]) * inv_c[:, None, :]
     return y.reshape(x.shape).astype(orig_dtype)
 

@@ -444,19 +444,27 @@ def supports_mix(f: int, n: int, c: int, dtype) -> tuple:
     return False, 0
 
 
-def supports_attn(m: int, sk: int, c: int, num_heads: int, dtype) -> tuple:
-    """(ok, block_m) gate for fused_ln_attn.  VMEM: two head-padded
-    projection weights + K/V (Sk, H*Dp) + q tile + per-head logits."""
+def supports_attn(m: int, sk: int, c: int, num_heads: int, dtype,
+                  hdp: int = 0) -> tuple:
+    """(ok, block_m) gate for fused_ln_attn.  VMEM: projection weights
+    (C, hdp)/(hdp, C) + K/V (Sk, hdp) + x/q/out tiles + fp32 logits.
+
+    `hdp` is the projection width wq.shape[1]: equal to C for the native
+    narrow-head layout the UNet uses, but H*128 for head-PADDED callers
+    (pad_heads/pad_heads_tokens, e.g. tools/kernel_bench.py) — which can be
+    >3x C, so sizing those terms with C would admit configs that OOM scoped
+    VMEM.  Defaults to C when not given."""
     if dtype not in (jnp.bfloat16, jnp.float32):
         return False, 0
     if sk % 128 != 0 or c % num_heads != 0:
         return False, 0
+    hdp = hdp or c
     itm = 2 if dtype == jnp.bfloat16 else 4
     for block_m in (512, 256, 128):
         if block_m > m or m % block_m != 0:
             continue
-        vmem = (2 * c * c + 2 * sk * c + 4 * block_m * c
-                + block_m * c) * itm + block_m * sk * 4
+        vmem = (2 * c * hdp + 2 * sk * hdp + 3 * block_m * c
+                + 2 * block_m * hdp) * itm + block_m * sk * 4
         if vmem < 13 * 1024 * 1024:
             return True, block_m
     return False, 0

@@ -42,6 +42,33 @@ def maybe_initialize_distributed() -> bool:
         return False
 
 
+def make_global_batch(tree, sharding):
+    """Assemble a global on-device batch from per-PROCESS local arrays.
+
+    Each process passes its own local batch (leading axis = local batch
+    size); the result is a global array of leading size local*n_processes
+    laid out by `sharding`.  Single-process this is jax.device_put.  This is
+    the multi-host-correct path: every host decodes only its own examples
+    (the reference's DDP sampler semantics), unlike device_put of a
+    "global" array which would silently use 1/n of each host's rows.
+
+    Computations over the result are SPMD across all hosts, so a scalar
+    reduction (e.g. the train loss) comes back replicated and already IS
+    the cross-rank mean — the TPU-native equivalent of the reference's
+    `accelerator.gather(loss).mean()` (scripts/animation_train.py:318).
+    """
+    import jax
+    import numpy as np
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def put(x):
+        x = np.asarray(x)
+        gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, gshape)
+    return jax.tree.map(put, tree)
+
+
 def process_allgather(x, tiled: bool = True):
     """All-gather a host-local numpy array across processes.
 

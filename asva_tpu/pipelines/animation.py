@@ -75,6 +75,35 @@ class AnimationPipeline:
         return jax.lax.with_sharding_constraint(
             latents, NamedSharding(self.mesh, spec))
 
+    def _ctx_constraint(self, x, batched: bool = False):
+        """Fully REPLICATE conditioning tensors under seq parallelism.
+
+        The text/audio contexts are cross-attention K/V sources: every seq
+        (frame) shard reads all of them, and they are tiny (<=229x768 per
+        item), so replication is the right layout.  Pinning them to
+        P(data) instead (r2's first attempt) conflicts with the
+        partitioner's downstream preference and triggers the
+        'involuntary full rematerialization' reshard on the broadcast
+        null-context operand (r2 dryrun warning)."""
+        del batched
+        if self.mesh is None or "seq" not in self.mesh.axis_names:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P()))
+
+    def _replicate(self, tree):
+        """device_put to a fully-replicated layout BEFORE entering the
+        denoise program.  Null contexts come out of the encoder jits with
+        whatever layout GSPMD picked; handing them to the program already
+        replicated avoids the reshard (an in-program constraint would be
+        exactly the involuntary-remat copy the constraint tries to kill)."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(self.mesh, P())
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
     # ---------------- conditioning ----------------
 
     def encode_audio_waveform(self, waveforms) -> jnp.ndarray:
@@ -145,6 +174,13 @@ class AnimationPipeline:
         def program(unet_params, latents, text_ctx, null_text_ctx,
                     audio_ctx, null_audio_ctx, audio_token_indices):
             b = latents.shape[0]
+            # batch-carrying contexts: shard over data, replicate over seq.
+            # The batch-1 null contexts/token indices are NOT constrained
+            # here — they arrive replicated via _replicate(); an in-program
+            # constraint would materialize exactly the reshard copy the
+            # replication avoids.
+            text_ctx = self._ctx_constraint(text_ctx, batched=True)
+            audio_ctx = self._ctx_constraint(audio_ctx, batched=True)
 
             def rep(x):
                 return jnp.broadcast_to(x, (b,) + x.shape[1:])
@@ -254,6 +290,8 @@ class AnimationPipeline:
                      if self.null_text_encoding is not None
                      else jnp.zeros_like(text_encodings[:1]))
 
+        null_text, null_audio_ctx, token_idx = self._replicate(
+            (null_text, null_audio_ctx, token_idx))
         program = self._denoise_program(
             num_inference_steps, sampler,
             float(text_guidance_scale), float(audio_guidance_scale))

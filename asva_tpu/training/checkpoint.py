@@ -16,6 +16,7 @@ leaves zero usable checkpoints.
 """
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -93,18 +94,26 @@ class CheckpointManager:
         self._pending = None
 
     def save(self, step: int, state: Any, force: bool = False,
-             modules: Optional[dict] = None) -> bool:
+             modules: Optional[dict] = None,
+             extra: Optional[dict] = None) -> bool:
         """Start an async save of the full train state; `modules` optionally
         adds per-module parameter exports under checkpoint-N/modules/<name>
         (the reference's dual-format policy: exact-resume state + inference
-        module exports).  Returns once the arrays are snapshotted — the
-        write continues in the background."""
+        module exports).  `extra` is a small JSON-serializable dict written
+        synchronously alongside (host-side state: data-loader cursor, host
+        RNG, ...) and recoverable via `restore_extra`.  Returns once the
+        arrays are snapshotted — the write continues in the background."""
         if not force and not self.should_save(step):
             return False
         if self._last_saved is None and self._pending is None:
             existing = self.existing_steps()
             self._last_saved = existing[-1] if existing else None
         self._commit_pending()   # previous async save (usually already done)
+        if extra is not None:
+            os.makedirs(self._path(step), exist_ok=True)
+            with open(os.path.join(self._path(step), "extra.json"),
+                      "w") as f:
+                json.dump(extra, f)
         self._ckpt("state").save(os.path.join(self._path(step), "state"),
                                  args=ocp.args.StandardSave(state),
                                  force=True)
@@ -126,6 +135,14 @@ class CheckpointManager:
         if step is None:
             return None
         return step, self.restore(step, target)
+
+    def restore_extra(self, step: int) -> Optional[dict]:
+        """Host-side sidecar saved with `extra=` (None if absent)."""
+        path = os.path.join(self._path(step), "extra.json")
+        if not os.path.isfile(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     def restore_module(self, step: int, name: str, target: Any) -> Any:
         self._wait_all()

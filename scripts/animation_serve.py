@@ -92,6 +92,12 @@ def main():
 
     state = {"requests": 0, "warm": False}
     lock = threading.Lock()   # one chip: serialize generation
+    # ThreadingHTTPServer handles each request on its own thread: the
+    # request id must be allocated atomically (not read from
+    # state['requests'] pre-increment, which two concurrent POSTs would
+    # share, the second overwriting the first's default-template mp4s)
+    import itertools
+    request_ids = itertools.count()
 
     if args.warmup:
         t0 = time.time()
@@ -131,8 +137,10 @@ def main():
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                with lock:
+                    req_id = next(request_ids)
                 save_template = req.get("save_template") or os.path.join(
-                    "/tmp", f"asva_serve_{state['requests']}")
+                    "/tmp", f"asva_serve_{req_id}")
                 enc = None
                 enc_path = req.get("category_text_encoding_path")
                 if enc_path:
@@ -164,14 +172,18 @@ def main():
                     f"{save_template}_clip-{i:02d}.mp4"
                     for i in range(int(req.get("num_clips", 3))))
                 outs = [o for o in outs if os.path.exists(o)]
-                state["requests"] += 1
-                state["warm"] = True
+                with lock:
+                    state["requests"] += 1
+                    state["warm"] = True
                 self._reply(200, {"ok": True, "outputs": outs,
                                   "latency_s": round(dt, 3)})
             except Exception as e:
                 traceback.print_exc()
                 self._reply(500, {"ok": False, "error": str(e)})
-            if args.max_requests and state["requests"] >= args.max_requests:
+            with lock:
+                done = (args.max_requests
+                        and state["requests"] >= args.max_requests)
+            if done:
                 threading.Thread(target=httpd.shutdown, daemon=True).start()
 
     httpd = ThreadingHTTPServer((args.host, args.port), Handler)

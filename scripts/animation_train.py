@@ -27,7 +27,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from asva_tpu.parallel.multihost import maybe_initialize_distributed
+    from asva_tpu.parallel.multihost import (make_global_batch,
+                                             maybe_initialize_distributed)
     maybe_initialize_distributed()
 
     from asva_tpu.config import AnimationJobConfig
@@ -101,10 +102,12 @@ def main():
     ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpts"),
                              cfg.optim.checkpointing_steps,
                              cfg.optim.checkpointing_milestones)
+    resumed_extra = None
     if cfg.optim.resume_from_checkpoint == "latest":
         restored = ckpt.restore_latest(state)
         if restored is not None:
             step0, state = restored
+            resumed_extra = ckpt.restore_extra(step0)
             log.info("resumed from step %d", step0)
 
     dataset = AudioVideoDataset(
@@ -116,12 +119,16 @@ def main():
         class_text_encoding_mapping_path=
         cfg.dataset.class_text_encoding_mapping_pt,
         seed=cfg.seed)
-    # config batch_size is per-device (reference: per-GPU); the loader
-    # produces the global per-host batch
-    global_batch = cfg.batch_size * len(mesh.devices.flat)
-    loader = DataLoader(dataset, global_batch, shuffle=True,
+    # config batch_size is per-device (reference: per-GPU); each process
+    # loads its LOCAL slice; make_global_batch assembles the global array
+    local_batch = cfg.batch_size * len(mesh.local_devices)
+    loader = DataLoader(dataset, local_batch, shuffle=True,
                         num_workers=8, seed=cfg.seed,
                         shard=(jax.process_index(), jax.process_count()))
+    if resumed_extra and "loader" in resumed_extra:
+        loader.load_state_dict(resumed_extra["loader"])
+        log.info("data order resumed at epoch %d batch %d",
+                 loader.epoch, loader._cursor)
 
     accum = cfg.optim.gradient_accumulation_steps
     train_step = trainer.make_train_step(tx)
@@ -150,7 +157,7 @@ def main():
                 if step >= max_steps:
                     break
                 rng, sub = jax.random.split(rng)
-                dev_batch = jax.device_put(
+                dev_batch = make_global_batch(
                     {"videos": batch["video"],
                      "waveforms": batch["waveform"],
                      "text_encodings": batch["text_encoding"]}, bshard)
@@ -169,6 +176,9 @@ def main():
                     else:
                         continue
 
+                # loss is computed over the GLOBAL sharded batch inside the
+                # jit program, so this scalar already is the cross-rank mean
+                # (reference gathers explicitly, animation_train.py:318)
                 meter.update(float(loss))
                 timer.tick()
                 if step % cfg.log_steps == 0:
@@ -186,17 +196,20 @@ def main():
                     # overlaps subsequent train steps
                     ckpt.save(step, state,
                               modules={"unet": state.params,
-                                       "audio_encoder": audio_params})
+                                       "audio_encoder": audio_params},
+                              extra={"loader": loader.state_dict()})
                     log.info("saving checkpoint-%d (async)", step)
                 if shutdown.requested:
                     log.info("shutdown requested: checkpointing at %d", step)
-                    ckpt.save(step, state, force=True)
+                    ckpt.save(step, state, force=True,
+                              extra={"loader": loader.state_dict()})
                     ckpt.close()   # block until durable before exiting
                     return
 
     ckpt.save(step, state, force=True,
               modules={"unet": state.params,
-                       "audio_encoder": audio_params})
+                       "audio_encoder": audio_params},
+              extra={"loader": loader.state_dict()})
     ckpt.close()
     log.info("done at step %d", step)
 

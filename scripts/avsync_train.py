@@ -22,7 +22,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from asva_tpu.parallel.multihost import maybe_initialize_distributed
+    from asva_tpu.parallel.multihost import (make_global_batch,
+                                             maybe_initialize_distributed)
     maybe_initialize_distributed()
 
     from asva_tpu.config import SyncJobConfig
@@ -78,9 +79,11 @@ def main():
     ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpts"),
                              cfg.optim.checkpointing_steps,
                              cfg.optim.checkpointing_milestones)
+    resumed_extra = None
     restored = ckpt.restore_latest(state)
     if restored is not None:
         step0, state = restored
+        resumed_extra = ckpt.restore_extra(step0)
         log.info("resumed from step %d", step0)
 
     mels_fn = jax.jit(jax.vmap(jax.vmap(waveform_to_mel)))
@@ -93,12 +96,16 @@ def main():
             shift_time=dcfg.shift_time, num_clips=dcfg.num_clips,
             sampling_type=dcfg.sampling_type, seed=cfg.seed)
 
-    global_batch = cfg.batch_size * len(mesh.devices.flat)
+    local_batch = cfg.batch_size * len(mesh.local_devices)
     train_loader = DataLoader(make_ds(cfg.train_dataset, "train"),
-                              global_batch, shuffle=True, num_workers=8,
+                              local_batch, shuffle=True, num_workers=8,
                               seed=cfg.seed,
                               shard=(jax.process_index(),
                                      jax.process_count()))
+    if resumed_extra and "loader" in resumed_extra:
+        train_loader.load_state_dict(resumed_extra["loader"])
+        log.info("data order resumed at epoch %d batch %d",
+                 train_loader.epoch, train_loader._cursor)
     test_loader = DataLoader(make_ds(cfg.test_dataset, "test"),
                              cfg.test_batch_size, shuffle=False,
                              num_workers=8, drop_last=False)
@@ -121,8 +128,8 @@ def main():
                 if step >= max_steps:
                     break
                 mels = mels_fn(jnp.asarray(batch["waveforms"]))
-                dev = jax.device_put({"mels": mels,
-                                      "videos": batch["videos"]}, bshard)
+                dev = make_global_batch({"mels": mels,
+                                         "videos": batch["videos"]}, bshard)
                 state, metrics = step_fn(state, dev)
                 step = int(state.step)
                 for name in meter:
@@ -134,40 +141,67 @@ def main():
                              meter["va_loss"].avg, meter["va_acc"].avg,
                              timer.steps_per_sec)
                 if cfg.test_steps and step % cfg.test_steps == 0:
-                    evaluate(trainer, state, test_loader, mels_fn, log)
+                    evaluate(trainer, state, test_loader, mels_fn, log,
+                             step=step)
                 if ckpt.should_save(step):
                     ckpt.save(step, state, modules={
                         "classifier": {"params": state.params,
-                                       "batch_stats": state.batch_stats}})
+                                       "batch_stats": state.batch_stats}},
+                        extra={"loader": train_loader.state_dict()})
                     log.info("saving checkpoint-%d (async)", step)
                 if shutdown.requested:
                     log.info("shutdown requested: checkpointing at %d", step)
-                    ckpt.save(step, state, force=True)
+                    ckpt.save(step, state, force=True,
+                              extra={"loader": train_loader.state_dict()})
                     ckpt.close()
                     return
     ckpt.save(step, state, force=True, modules={
         "classifier": {"params": state.params,
-                       "batch_stats": state.batch_stats}})
+                       "batch_stats": state.batch_stats}},
+        extra={"loader": train_loader.state_dict()})
     ckpt.close()
 
 
-def evaluate(trainer, state, test_loader, mels_fn, log, max_batches=50):
+def evaluate(trainer, state, test_loader, mels_fn, log, step=0,
+             max_batches=50):
+    """In-train test pass, reference semantics (scripts/avsync_train.py:
+    334-378): eval-mode BatchNorm (trainer.eval() -> running averages, so
+    accuracies are invariant to test-batch composition), jitted, metrics
+    gathered across processes and averaged weighted by batch size."""
     import jax.numpy as jnp
     import numpy as np
-    accs_av, accs_va = [], []
+
+    from asva_tpu.parallel.multihost import process_allgather
+
+    eval_fn = getattr(trainer, "_cached_eval_fn", None)
+    if eval_fn is None:
+        eval_fn = trainer._cached_eval_fn = trainer.make_eval_metrics()
+
+    sums = {k: 0.0 for k in ("av_loss", "va_loss", "av_acc", "va_acc")}
+    count = 0
     for i, batch in enumerate(test_loader):
         if i >= max_batches:
             break
         mels = mels_fn(jnp.asarray(batch["waveforms"]))
-        _, (metrics, _) = trainer.loss_fn(state.params, state.batch_stats,
-                                          {"mels": mels,
-                                           "videos": jnp.asarray(
-                                               batch["videos"])})
-        accs_av.append(float(metrics["av_acc"]))
-        accs_va.append(float(metrics["va_acc"]))
-    if accs_av:
-        log.info("eval: av_acc %.4f va_acc %.4f",
-                 float(np.mean(accs_av)), float(np.mean(accs_va)))
+        metrics = eval_fn(state.params, state.batch_stats,
+                          {"mels": mels,
+                           "videos": jnp.asarray(batch["videos"])})
+        bsz = len(batch["waveforms"])
+        for name in sums:
+            sums[name] += float(metrics[name]) * bsz
+        count += bsz
+    # cross-rank weighted mean (reference accelerator.gather :352-357)
+    totals = process_allgather(
+        np.array([[sums[k] for k in sorted(sums)] + [float(count)]]))
+    totals = totals.sum(axis=0)
+    n = max(totals[-1], 1.0)
+    mean = dict(zip(sorted(sums), totals[:-1] / n))
+    if count:
+        log.info("eval step %d: test_loss %.4f av %.4f/%.4f va %.4f/%.4f",
+                 step, (mean["av_loss"] + mean["va_loss"]) / 2.0,
+                 mean["av_loss"], mean["av_acc"],
+                 mean["va_loss"], mean["va_acc"])
+    return mean
 
 
 if __name__ == "__main__":

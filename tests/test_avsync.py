@@ -133,3 +133,39 @@ def test_contrastive_trainer_step_and_learning(rng):
     bs1 = jax.tree.leaves(state.batch_stats)
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(bs0, bs1))
+
+
+def test_eval_metrics_use_running_bn_and_batch_invariance(rng):
+    """Reference trainer.eval() semantics (scripts/avsync_train.py:334-335):
+    the in-train test pass runs BatchNorm on running averages, so per-item
+    metrics are invariant to test-batch composition; train-mode (batch-stat
+    BN) metrics are not."""
+    clf = AVSyncClassifier()
+    b, k, f = 2, 3, 4
+    mels = jnp.asarray(rng.standard_normal((b, k, 128, 204, 1)),
+                       dtype=jnp.float32)
+    videos = jnp.asarray(rng.random((b, k, f, 16, 16, 3)), dtype=jnp.float32)
+    variables = clf.init(jax.random.PRNGKey(0), mels[0], videos[0])
+    # non-trivial running stats (fresh init is mean 0 / var 1)
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree.map(
+        lambda x: x + 0.25, variables["batch_stats"])
+    trainer = SyncContrastiveTrainer(clf, tau=0.1)
+    eval_fn = trainer.make_eval_metrics()
+
+    batch = {"mels": mels, "videos": videos}
+    joint = eval_fn(variables["params"], variables["batch_stats"], batch)
+    per_item = [eval_fn(variables["params"], variables["batch_stats"],
+                        {"mels": mels[i:i + 1], "videos": videos[i:i + 1]})
+                for i in range(b)]
+    for name in ("av_loss", "va_loss", "av_acc", "va_acc"):
+        split_mean = np.mean([float(m[name]) for m in per_item])
+        np.testing.assert_allclose(float(joint[name]), split_mean,
+                                   rtol=1e-5, atol=1e-6)
+
+    # train-mode metrics differ (batch statistics couple the items) and the
+    # eval pass must not equal them — guards against train=True regressions
+    _, (train_metrics, _) = trainer.loss_fn(
+        variables["params"], variables["batch_stats"], batch)
+    assert abs(float(train_metrics["av_loss"]) - float(joint["av_loss"])) \
+        > 1e-6

@@ -64,3 +64,21 @@ def test_exact_resume_roundtrip(tmp_path):
                                   np.asarray(state["params"]["w"]))
     np.testing.assert_array_equal(np.asarray(restored["opt"]["mu"]),
                                   np.asarray(state["opt"]["mu"]))
+
+
+def test_extra_sidecar_roundtrip_and_retention(tmp_path):
+    """`extra=` host-state JSON (loader cursor etc.) rides along with the
+    checkpoint, is restorable, and is deleted with its checkpoint."""
+    mgr = CheckpointManager(str(tmp_path), checkpointing_steps=1,
+                            milestone_steps=0)
+    mgr.save(1, _state(1), extra={"loader": {"epoch": 0, "cursor": 3,
+                                             "seed": 42}})
+    mgr.save(2, _state(2), extra={"loader": {"epoch": 1, "cursor": 0,
+                                             "seed": 42}})
+    mgr.close()
+    mgr2 = CheckpointManager(str(tmp_path), checkpointing_steps=1)
+    assert mgr2.restore_extra(2) == {"loader": {"epoch": 1, "cursor": 0,
+                                                "seed": 42}}
+    assert mgr2.restore_extra(1) is None   # retention removed checkpoint-1
+    assert mgr2.restore_extra(99) is None  # absent step
+    mgr2.close()

@@ -90,3 +90,87 @@ def test_multipair_uniform_and_center(dataset_root):
                                 shift_time=0.1, sampling_type=st, seed=1)
         item = ds[1]
         assert item["videos"].shape[0] == 3
+
+
+def test_determinism_across_worker_counts(dataset_root):
+    """Per-item RNG is (seed, epoch, index)-derived, so batches are
+    bit-identical for any num_workers (r2 VERDICT: a shared random.Random
+    across pool threads made runs irreproducible)."""
+    from asva_tpu.data.datasets import AudioVideoDataset
+    from asva_tpu.data.loader import DataLoader
+    root, lst, enc, mapping = dataset_root
+
+    def run(workers):
+        ds = AudioVideoDataset(lst, str(root), mode="train", img_size=32,
+                               randflip=True, seed=7)
+        dl = DataLoader(ds, batch_size=1, shuffle=True,
+                        num_workers=workers, drop_last=True, seed=7)
+        return [list(dl) for _ in range(2)]  # two epochs
+
+    a, b = run(1), run(8)
+    for ep_a, ep_b in zip(a, b):
+        assert len(ep_a) == len(ep_b) == 3
+        for ba, bb in zip(ep_a, ep_b):
+            np.testing.assert_array_equal(ba["video"], bb["video"])
+            np.testing.assert_array_equal(ba["waveform"], bb["waveform"])
+    # epochs must differ (new clip starts) — guards against a frozen stream
+    assert not np.array_equal(a[0][0]["video"], a[1][0]["video"]) or \
+        not np.array_equal(a[0][0]["waveform"], a[1][0]["waveform"])
+
+
+def test_multipair_determinism_across_worker_counts(dataset_root):
+    from asva_tpu.data.loader import DataLoader
+    from asva_tpu.data.multipair import MultiPairAVDataset
+
+    root, lst, _, _ = dataset_root
+
+    def run(workers):
+        ds = MultiPairAVDataset(lst, str(root), mode="train", image_size=32,
+                                video_num_frames=4, shift_time=0.2,
+                                num_clips=3, sampling_type="random-compact",
+                                seed=3)
+        dl = DataLoader(ds, batch_size=1, shuffle=True,
+                        num_workers=workers, drop_last=True, seed=3)
+        return list(dl)
+
+    for ba, bb in zip(run(1), run(8)):
+        np.testing.assert_array_equal(ba["videos"], bb["videos"])
+        np.testing.assert_array_equal(ba["waveforms"], bb["waveforms"])
+
+
+def test_loader_resume_continues_data_order(dataset_root):
+    """state_dict/load_state_dict resume: a restarted loader yields exactly
+    the batches the crashed run never consumed (reference skips consumed
+    steps within the epoch, scripts/animation_train.py:268-309)."""
+    from asva_tpu.data.datasets import AudioVideoDataset
+    from asva_tpu.data.loader import DataLoader
+    root, lst, enc, mapping = dataset_root
+
+    def make():
+        ds = AudioVideoDataset(lst, str(root), mode="train", img_size=32,
+                               randflip=True, seed=11)
+        return DataLoader(ds, batch_size=1, shuffle=True, num_workers=2,
+                          drop_last=True, seed=11)
+
+    # uninterrupted truth: two full epochs of batches
+    truth = []
+    ref = make()
+    for _ in range(2):
+        truth.extend(list(ref))
+
+    # crashed run: consume 2 batches, checkpoint the loader state
+    run1 = make()
+    it = iter(run1)
+    consumed = [next(it), next(it)]
+    saved = run1.state_dict()
+    del it
+
+    # resumed run: must continue at batch 2 of epoch 0, then epoch 1
+    run2 = make()
+    run2.load_state_dict(saved)
+    resumed = list(run2)
+    resumed.extend(list(run2))
+
+    for ba, bb in zip(consumed + resumed, truth):
+        np.testing.assert_array_equal(ba["video"], bb["video"])
+    assert len(consumed) + len(resumed) == len(truth)

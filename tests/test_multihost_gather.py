@@ -68,3 +68,61 @@ def test_two_process_gather_with_dedup(tmp_path):
     res = json.loads(line[len("RESULT "):])
     assert res["uniq"] == [0, 1, 2, 3, 4, 5, 6]
     assert res["vals"] == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+
+
+LOSS_WORKER = r"""
+import os, sys, json
+import numpy as np
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=sys.argv[1],
+                           num_processes=2, process_id=int(sys.argv[2]))
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from asva_tpu.parallel.multihost import make_global_batch
+
+pid = jax.process_index()
+mesh = Mesh(np.array(jax.devices()), ("data",))
+bshard = NamedSharding(mesh, P("data"))
+# each process contributes DIFFERENT local rows (one per local device)
+n = len(jax.local_devices())
+local = {"x": (np.arange(float(n)) + 100.0 * pid).reshape(n, 1)}
+batch = make_global_batch(local, bshard)
+loss = jax.jit(lambda b: jnp.mean(b["x"]))(batch)
+# the scalar is replicated: float() must equal the cross-rank global mean
+print("RESULT", json.dumps({"pid": pid, "loss": float(loss), "n": n}))
+"""
+
+
+def test_two_process_global_batch_loss_is_cross_rank_mean(tmp_path):
+    """The train scripts log float(loss) from a jit over the global sharded
+    batch; with make_global_batch this already IS the cross-rank mean
+    (the reference's accelerator.gather(loss).mean(),
+    scripts/animation_train.py:318)."""
+    port = _free_port()
+    addr = f"localhost:{port}"
+    script = tmp_path / "loss_worker.py"
+    script.write_text(LOSS_WORKER)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), addr, str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    import json
+    losses = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            pytest.fail("distributed worker timed out")
+        assert p.returncode == 0, err[-2000:]
+        line = next(l for l in out.splitlines() if l.startswith("RESULT"))
+        rec = json.loads(line[len("RESULT "):])
+        losses.append(rec["loss"])
+        n = rec["n"]
+    # global rows: [0..n) and [100..100+n) -> both ranks log the same mean
+    expected = np.mean([np.arange(float(n)), np.arange(float(n)) + 100.0])
+    assert losses[0] == losses[1] == pytest.approx(float(expected))

@@ -92,7 +92,8 @@ def main():
     wo_a = pf.pad_heads(r(c, c), heads, 0)
     k = pf.pad_heads_tokens(r(g, sk, c), heads)
     v = pf.pad_heads_tokens(r(g, sk, c), heads)
-    ok, bm = pf.supports_attn(m, sk, c, heads, DT)
+    ok, bm = pf.supports_attn(m, sk, c, heads, DT,
+                              hdp=wq.shape[1])
     assert ok, (m, sk)
     timeit("attn1 fused  c320 sk1024 (kernel)",
            lambda x_, *a: pf.fused_ln_attn(x_, *a, 1e-5, heads, None, bm),
@@ -116,7 +117,8 @@ def main():
     x2 = r(g2, m2, c)
     k2 = pf.pad_heads_tokens(r(g2, sk2, c), heads)
     v2 = pf.pad_heads_tokens(r(g2, sk2, c), heads)
-    ok, bm2 = pf.supports_attn(m2, sk2, c, heads, DT)
+    ok, bm2 = pf.supports_attn(m2, sk2, c, heads, DT,
+                               hdp=wq.shape[1])
     assert ok
     timeit("audio-x fused  c320 sk128 (kernel)",
            lambda x_, *a: pf.fused_ln_attn(x_, *a, 1e-5, heads, 25, bm2),
@@ -129,7 +131,8 @@ def main():
     # ---- level-0 text cross: groups=2, m=12288, sk=128 (77 real) ----
     k3 = pf.pad_heads_tokens(r(g, sk2, c), heads)
     v3 = pf.pad_heads_tokens(r(g, sk2, c), heads)
-    ok, bm3 = pf.supports_attn(m, sk2, c, heads, DT)
+    ok, bm3 = pf.supports_attn(m, sk2, c, heads, DT,
+                               hdp=wq.shape[1])
     assert ok
     timeit("text-x fused  c320 sk128 (kernel)",
            lambda x_, *a: pf.fused_ln_attn(x_, *a, 1e-5, heads, 77, bm3),
