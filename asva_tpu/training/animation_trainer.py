@@ -144,34 +144,76 @@ class AnimationTrainer:
         return jnp.mean(jnp.square(err))
 
     # ---------------- jitted step builders ----------------
+    #
+    # When `mask` (the trainable_mask pytree) is given, the step
+    # differentiates ONLY the trainable subtree: the frozen SD1.5 image
+    # weights enter as non-differentiated arguments, so XLA never emits
+    # their weight-gradient contractions (a full extra conv pass at frozen
+    # levels) nor a params-sized gradient buffer — matching the torch
+    # reference where requires_grad=False params get no wgrad
+    # (scripts/animation_train.py:115-121).  The optimizer then runs over
+    # the trainable subtree alone (build it WITHOUT a mask) and its state
+    # must be tx.init(trainable_subtree).
 
     def make_train_step(self, tx: optax.GradientTransformation,
-                        donate: bool = True) -> Callable:
+                        donate: bool = True, mask=None) -> Callable:
+        from .optim import merge_params, partition_params
+
         def step(state: TrainState, batch: dict, rng: jax.Array, frozen):
-            loss, grads = jax.value_and_grad(self._loss)(
-                state.params, batch, rng, *frozen)
-            updates, opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(state.step + 1, params, opt_state), loss
+            if mask is None:
+                loss, grads = jax.value_and_grad(self._loss)(
+                    state.params, batch, rng, *frozen)
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(state.step + 1, params, opt_state), loss
+            train_p, frozen_p = partition_params(state.params, mask)
+            frozen_p = jax.lax.stop_gradient(frozen_p)
+            loss, grads = jax.value_and_grad(
+                lambda tp: self._loss(merge_params(tp, frozen_p), batch,
+                                      rng, *frozen))(train_p)
+            updates, opt_state = tx.update(grads, state.opt_state, train_p)
+            train_p = optax.apply_updates(train_p, updates)
+            return TrainState(state.step + 1,
+                              merge_params(train_p, frozen_p),
+                              opt_state), loss
 
         jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
         frozen = self._frozen()
         return lambda state, batch, rng: jitted(state, batch, rng, frozen)
 
-    def make_grad_step(self) -> Callable:
-        """For gradient accumulation: returns (loss, grads)."""
+    def make_grad_step(self, mask=None) -> Callable:
+        """For gradient accumulation: returns (loss, grads) — grads over
+        the trainable subtree only when `mask` is given (so accumulation
+        buffers are trainable-sized, not params-sized)."""
+        from .optim import merge_params, partition_params
+
         def gstep(params, batch: dict, rng: jax.Array, frozen):
-            return jax.value_and_grad(self._loss)(params, batch, rng,
-                                                  *frozen)
+            if mask is None:
+                return jax.value_and_grad(self._loss)(params, batch, rng,
+                                                      *frozen)
+            train_p, frozen_p = partition_params(params, mask)
+            frozen_p = jax.lax.stop_gradient(frozen_p)
+            return jax.value_and_grad(
+                lambda tp: self._loss(merge_params(tp, frozen_p), batch,
+                                      rng, *frozen))(train_p)
         jitted = jax.jit(gstep)
         frozen = self._frozen()
         return lambda params, batch, rng: jitted(params, batch, rng, frozen)
 
-    def make_apply_step(self, tx: optax.GradientTransformation) -> Callable:
+    def make_apply_step(self, tx: optax.GradientTransformation,
+                        mask=None) -> Callable:
+        from .optim import merge_params, partition_params
+
         def astep(state: TrainState, grads):
-            updates, opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(state.step + 1, params, opt_state)
+            if mask is None:
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(state.step + 1, params, opt_state)
+            train_p, frozen_p = partition_params(state.params, mask)
+            updates, opt_state = tx.update(grads, state.opt_state, train_p)
+            train_p = optax.apply_updates(train_p, updates)
+            return TrainState(state.step + 1,
+                              merge_params(train_p, frozen_p), opt_state)
         return jax.jit(astep, donate_argnums=(0,))

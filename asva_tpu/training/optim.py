@@ -77,6 +77,39 @@ def trainable_mask(params: Any,
     return jax.tree.unflatten(treedef, marks)
 
 
+def partition_params(params: Any, mask: Any):
+    """Split a nested params dict into (trainable, frozen) sub-dicts by a
+    same-structure boolean mask.  Subtrees keep their nesting; leaves land
+    in exactly one side.  Used so the train step differentiates ONLY the
+    trainable subtree — XLA then never emits weight-gradient contractions
+    for the frozen SD1.5 convs (the reference's requires_grad=False
+    semantics: torch skips frozen wgrads, scripts/animation_train.py:
+    115-121), nor a full-size gradient buffer."""
+    if not isinstance(params, dict):
+        return (params, None) if mask else (None, params)
+    t_out, f_out = {}, {}
+    for key, sub in params.items():
+        t_sub, f_sub = partition_params(sub, mask[key])
+        if t_sub is not None and (not isinstance(t_sub, dict) or t_sub):
+            t_out[key] = t_sub
+        if f_sub is not None and (not isinstance(f_sub, dict) or f_sub):
+            f_out[key] = f_sub
+    return t_out, f_out
+
+
+def merge_params(trainable: Any, frozen: Any):
+    """Inverse of partition_params (union of two disjoint nested dicts)."""
+    if trainable is None:
+        return frozen
+    if frozen is None or not isinstance(trainable, dict):
+        return trainable
+    out = dict(frozen)
+    for key, sub in trainable.items():
+        out[key] = merge_params(sub, frozen.get(key)) if key in frozen \
+            else sub
+    return out
+
+
 def build_optimizer(
     learning_rate: float = 1e-4,
     *,
@@ -87,7 +120,11 @@ def build_optimizer(
     adam_eps: float = 1e-8,
     weight_decay: float = 1e-2,
     warmup_steps: int = 0,
+    mu_dtype: Any = None,
 ) -> optax.GradientTransformation:
+    """`mu_dtype` (e.g. jnp.bfloat16) stores the Adam first moment in a
+    lower precision — halves that slice of optimizer HBM; the second
+    moment stays fp32 (optax.adamw semantics)."""
     if warmup_steps > 0:
         schedule: Any = optax.linear_schedule(0.0, learning_rate, warmup_steps)
     else:
@@ -95,7 +132,7 @@ def build_optimizer(
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(schedule, b1=adam_beta1, b2=adam_beta2, eps=adam_eps,
-                    weight_decay=weight_decay),
+                    weight_decay=weight_decay, mu_dtype=mu_dtype),
     )
     if mask is not None:
         # frozen leaves get a hard zero update (optax.masked alone would

@@ -77,15 +77,28 @@ def bench_train():
         unet=unet, vae=vae, audio_encoder=audio_enc, vae_params=vae_params,
         audio_encoder_params=audio_params,
         null_text_encoding=jnp.zeros((1, 77, 768), jnp.bfloat16))
+    # differentiate ONLY the trainable subtree (no frozen-conv wgrads, no
+    # params-sized grad buffer — the torch reference's requires_grad
+    # semantics); the optimizer runs over that subtree, unmasked.
+    # --full_wgrads restores the r2 whole-tree flow for comparison.
     mask = trainable_mask(unet_params)
-    tx = build_optimizer(1e-4, mask=mask)
-    state = TrainState(jnp.zeros((), jnp.int32), unet_params,
-                       tx.init(unet_params))
-    # donate: the old state is freed as the new one is produced — without
-    # it both 4.7 GB param buffers are live and the step can OOM *silently*
-    # (an errored buffer chain then "completes" instantly and the bench
-    # reports garbage; materializing float(loss) below surfaces the error)
-    step = trainer.make_train_step(tx, donate=True)
+    if "--full_wgrads" in sys.argv:
+        tx = build_optimizer(1e-4, mask=mask)
+        state = TrainState(jnp.zeros((), jnp.int32), unet_params,
+                           tx.init(unet_params))
+        step = trainer.make_train_step(tx, donate=True)
+    else:
+        from asva_tpu.training.optim import partition_params
+        mu_dtype = jnp.bfloat16 if "--mu_bf16" in sys.argv else None
+        tx = build_optimizer(1e-4, mu_dtype=mu_dtype)
+        state = TrainState(jnp.zeros((), jnp.int32), unet_params,
+                           tx.init(partition_params(unet_params, mask)[0]))
+        # donate: the old state is freed as the new one is produced —
+        # without it both 4.7 GB param buffers are live and the step can
+        # OOM *silently* (an errored buffer chain then "completes"
+        # instantly and the bench reports garbage; materializing
+        # float(loss) below surfaces the error)
+        step = trainer.make_train_step(tx, donate=True, mask=mask)
 
     rng = np.random.default_rng(0)
     batch = {

@@ -79,14 +79,19 @@ def main():
             audio_cond_drop_prob=cfg.audio_cond_drop_prob,
             loss_on_first_frame=cfg.loss_on_first_frame))
 
+    # partial-training flow: differentiate ONLY the trainable subtree so
+    # XLA emits no frozen-conv wgrads and no params-sized grad buffer (the
+    # reference's requires_grad=False semantics); the optimizer runs over
+    # that subtree unmasked.  train_image_modules=True falls back to the
+    # whole-tree flow.
     if cfg.train_image_modules:
-        mask = trainable_mask(unet_params, segments=())  # everything
+        mask = None
     else:
         from asva_tpu.training.optim import segments_for_trainable_modules
         mask = trainable_mask(
             unet_params, segments_for_trainable_modules(cfg.trainable_modules))
     tx = build_optimizer(
-        cfg.optim.learning_rate, mask=mask,
+        cfg.optim.learning_rate,
         max_grad_norm=cfg.optim.max_grad_norm,
         adam_beta1=cfg.optim.adam_beta1, adam_beta2=cfg.optim.adam_beta2,
         adam_eps=cfg.optim.adam_epsilon,
@@ -97,7 +102,13 @@ def main():
 
     params = shard_pytree(unet_params,
                           fsdp_shardings(unet_params, mesh))
-    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    if mask is None:
+        opt_params = params
+    else:
+        from asva_tpu.training.optim import partition_params
+        opt_params = partition_params(params, mask)[0]
+    state = TrainState(jnp.zeros((), jnp.int32), params,
+                       tx.init(opt_params))
 
     ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpts"),
                              cfg.optim.checkpointing_steps,
@@ -131,9 +142,9 @@ def main():
                  loader.epoch, loader._cursor)
 
     accum = cfg.optim.gradient_accumulation_steps
-    train_step = trainer.make_train_step(tx)
-    grad_step = trainer.make_grad_step()
-    apply_step = trainer.make_apply_step(tx)
+    train_step = trainer.make_train_step(tx, mask=mask)
+    grad_step = trainer.make_grad_step(mask=mask)
+    apply_step = trainer.make_apply_step(tx, mask=mask)
     add_grads = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
     div_grads = jax.jit(lambda a: jax.tree.map(lambda x: x / accum, a))
 

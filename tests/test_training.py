@@ -143,3 +143,71 @@ def test_trainable_mask_config_tokens_select_expected_segments():
         # the grafted image modules stay frozen
         assert any("attn1" in p for p in off)
         assert any("conv_in.conv" in p for p in off)
+
+
+def test_partition_merge_roundtrip():
+    from asva_tpu.training.optim import merge_params, partition_params
+    _, params = _build()
+    mask = trainable_mask(params)
+    t, f = partition_params(params, mask)
+    merged = merge_params(t, f)
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(merged)[0]
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    # the split is disjoint and complete
+    n_t = len(jax.tree.leaves(t))
+    n_f = len(jax.tree.leaves(f))
+    assert n_t + n_f == len(flat_a) and n_t > 0 and n_f > 0
+
+
+def test_subtree_grad_step_matches_masked_full_tree(rng):
+    """The trainable-subtree flow (no frozen wgrads) must produce the SAME
+    training trajectory as the r2 whole-tree + multi_transform-mask flow."""
+    from asva_tpu.training.optim import partition_params
+    trainer, params = _build()
+    mask = trainable_mask(params)
+    batch = _batch(rng, b=2)
+    key = jax.random.PRNGKey(5)
+
+    # flow A: whole-tree grads + masked optimizer
+    tx_a = build_optimizer(2e-3, mask=mask)
+    state_a = TrainState(jnp.zeros((), jnp.int32), params, tx_a.init(params))
+    step_a = trainer.make_train_step(tx_a, donate=False)
+
+    # flow B: subtree grads + unmasked optimizer over the subtree
+    tx_b = build_optimizer(2e-3)
+    state_b = TrainState(jnp.zeros((), jnp.int32), params,
+                         tx_b.init(partition_params(params, mask)[0]))
+    step_b = trainer.make_train_step(tx_b, donate=False, mask=mask)
+
+    for i in range(3):
+        k = jax.random.fold_in(key, i)
+        state_a, loss_a = step_a(state_a, batch, k)
+        state_b, loss_b = step_b(state_b, batch, k)
+        np.testing.assert_allclose(float(loss_a), float(loss_b),
+                                   rtol=1e-6, atol=1e-7)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(state_a.params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(state_b.params)[0]
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=1e-5, atol=1e-6)
+
+    # accumulation path agrees too: grads from make_grad_step(mask) applied
+    # via make_apply_step(mask) equal one more fused step
+    k = jax.random.fold_in(key, 99)
+    state_a2, _ = step_a(state_a, batch, k)
+    gstep = trainer.make_grad_step(mask=mask)
+    astep = trainer.make_apply_step(tx_b, mask=mask)
+    _, grads = gstep(state_b.params, batch, k)
+    state_b2 = astep(state_b, grads)
+    for (pa, va), (pb, vb) in zip(
+            jax.tree_util.tree_flatten_with_path(state_a2.params)[0],
+            jax.tree_util.tree_flatten_with_path(state_b2.params)[0]):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=1e-5, atol=1e-6)
