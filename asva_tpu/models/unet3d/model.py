@@ -63,7 +63,10 @@ class UNet3DConfig:
     # the deep 8x8/4x4 levels hold ~half the FLOPs but tiny activations,
     # so skipping their recompute costs little memory; "l0": remat only
     # the 32x32 level (stores level-1 activations too — more memory than
-    # highres, less recompute)
+    # highres, less recompute); "saveconv": like highres but the rematted
+    # levels SAVE their FFInflatedConv 2D-conv outputs (checkpoint_name
+    # "conv_out") — backward never re-runs a conv (frozen kernels need no
+    # wgrad; dgrad needs only weights) at ~0.8 GB extra activations
     remat_policy: str = "full"
 
     @classmethod
@@ -119,10 +122,14 @@ class AudioUNet3D(nn.Module):
                 policy = jax.checkpoint_policies.\
                     dots_with_no_batch_dims_saveable
                 return nn.remat(cls_, policy=policy)
-            if cfg.remat_policy == "highres" and level >= 2:
+            if cfg.remat_policy in ("highres", "saveconv") and level >= 2:
                 return cls_
             if cfg.remat_policy == "l0" and level >= 1:
                 return cls_
+            if cfg.remat_policy == "saveconv":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "conv_out", "sublayer_x")
+                return nn.remat(cls_, policy=policy)
             return nn.remat(cls_)
 
         # 3. down path

@@ -66,6 +66,12 @@ class FFInflatedConv(nn.Module):
                     padding=((ph, ph), (pw, pw)), dtype=self.dtype,
                     name="conv")(y)
         y = y.reshape((b, f) + y.shape[1:])  # (b, f, h, w, C)
+        # marker for the "saveconv" remat policy (model.py): saving the 2D
+        # conv output lets backward skip re-running the conv entirely — its
+        # dgrad needs only weights, its (frozen) kernel gets no wgrad, and
+        # the trainable 3-tap mix's wgrad input IS this tensor.
+        from jax.ad_checkpoint import checkpoint_name
+        y = checkpoint_name(y, "conv_out")
 
         c = self.features
         # One (3C, C) kernel == torch Linear(3C, C); zero-init so a freshly

@@ -94,17 +94,26 @@ class SpatioAudioTempTransformerBlock(nn.Module):
     ) -> jnp.ndarray:
         f = x.shape[1]
 
+        # "sublayer_x" markers: under the saveconv remat policy each
+        # sub-layer's input is SAVED, so the backward's chain recompute
+        # never re-runs the fused Pallas forwards (their custom_vjp
+        # rebuilds gradients from these inputs directly)
+        from jax.ad_checkpoint import checkpoint_name
+
+        def ckpt(v):
+            return checkpoint_name(v, "sublayer_x")
+
         # 1. first-frame spatial attention (residual sub-layer; fused
         #    LN+attn+residual Pallas kernel on TPU)
         x = FFSpatialAttention(self.num_heads, self.head_dim,
                                dtype=self.dtype, name="attn1")(
-            x, ln=LayerNormParams(self.dim, name="norm1"))
+            ckpt(x), ln=LayerNormParams(self.dim, name="norm1"))
 
         # 2. audio cross-attention with per-frame segment mask
         if self.use_audio:
             x = CrossAttention(self.num_heads, self.head_dim,
                                dtype=self.dtype, name="attn_audio")(
-                x, audio_context, mask=audio_mask,
+                ckpt(x), audio_context, mask=audio_mask,
                 context_indices=audio_token_indices,
                 ln=LayerNormParams(self.dim, name="norm_audio"))
 
@@ -112,7 +121,7 @@ class SpatioAudioTempTransformerBlock(nn.Module):
         if text_context is not None:
             x = CrossAttention(self.num_heads, self.head_dim,
                                dtype=self.dtype, name="attn2")(
-                x, text_context,
+                ckpt(x), text_context,
                 ln=LayerNormParams(self.dim, name="norm2"))
 
         # 4. temporal attention (sinusoidal-MLP position added pre-norm only)
@@ -122,6 +131,7 @@ class SpatioAudioTempTransformerBlock(nn.Module):
                                 name="pos_embedding_temp")(
             pos.astype(self.dtype))
         pos = pos[None, :, None, :]  # (1, f, 1, c)
+        x = ckpt(x)
         h = AdaptiveOrLayerNorm(name="norm_temp")(x + pos)
         x = x + TemporalAttention(self.num_heads, self.head_dim,
                                   dtype=self.dtype, name="attn_temp")(h)
@@ -129,7 +139,7 @@ class SpatioAudioTempTransformerBlock(nn.Module):
         # 5. feed-forward (residual sub-layer; fused LN+GEGLU+residual
         #    Pallas kernel on TPU)
         x = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(
-            x, ln=LayerNormParams(self.dim, name="norm3"))
+            ckpt(x), ln=LayerNormParams(self.dim, name="norm3"))
         return x
 
 

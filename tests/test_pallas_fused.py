@@ -137,6 +137,100 @@ def test_attn_vjp_falls_back(rng):
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_mha_flash_fwd_matches_einsum(rng):
+    from asva_tpu.ops.pallas_fused import _mha_einsum, mha_kvshared
+    g, m, sk, hd, heads = 2, 512, 256, 320, 8
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    q, k, v = r(g, m, hd), r(g, sk, hd), r(g, sk, hd)
+    scale = 1.0 / (40 ** 0.5)
+    with pltpu.force_tpu_interpret_mode():
+        o1 = mha_kvshared(q, k, v, heads, None, scale, 256)
+    o2 = _mha_einsum(q, k, v, heads, None, scale)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_mha_flash_bwd_matches_einsum_grads(rng):
+    """The Pallas flash backward (LSE-rebuilt probabilities, fp32 dK/dV
+    tile accumulation) == XLA softmax-attention gradients."""
+    from asva_tpu.ops.pallas_fused import _mha_einsum, mha_kvshared
+    g, m, sk, hd, heads = 1, 256, 128, 80, 2
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    q, k, v = r(g, m, hd), r(g, sk, hd), r(g, sk, hd)
+    co = r(g, m, hd)  # cotangent mixer so grads aren't symmetric
+    scale = 1.0 / (40 ** 0.5)
+
+    def loss_k(q, k, v):
+        return jnp.sum(mha_kvshared(q, k, v, heads, None, scale, 128) * co)
+
+    def loss_r(q, k, v):
+        return jnp.sum(_mha_einsum(q, k, v, heads, None, scale) * co)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_mha_flash_bwd_kv_mask(rng):
+    """Masked (padded) KV rows get zero gradient and don't affect dq."""
+    from asva_tpu.ops.pallas_fused import _mha_einsum, mha_kvshared
+    g, m, sk, hd, heads, keep = 1, 128, 128, 64, 2, 77
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    q, k, v = r(g, m, hd), r(g, sk, hd), r(g, sk, hd)
+    scale = 1.0 / (32 ** 0.5)
+
+    def loss_k(q, k, v):
+        return jnp.sum(mha_kvshared(q, k, v, heads, keep, scale, 128) ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(_mha_einsum(q, k, v, heads, keep, scale) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+    assert float(jnp.abs(g1[1][:, keep:]).max()) == 0.0
+    assert float(jnp.abs(g1[2][:, keep:]).max()) == 0.0
+
+
+def test_fused_attn_flash_bwd_engages_and_matches(rng, monkeypatch):
+    """fused_ln_attn grads with the flash backward (FORCE on, gate passes)
+    == the XLA reference composite grads."""
+    import asva_tpu.ops.pallas_fused as pf
+    args = _attn_args(rng, g=1, m=512, sk=128, c=320, heads=8)
+    ok, bm = pf.supports_mha_bwd(512, 128, args[3].shape[1], 8, jnp.float32)
+    assert ok
+
+    def loss_k(*a):
+        return jnp.sum(fused_ln_attn(*a, 1e-5, 8, None, 256) ** 2)
+
+    def loss_r(*a):
+        return jnp.sum(_ln_attn_reference(*a, 1e-5, 8, None) ** 2)
+
+    monkeypatch.setattr(pf, "FORCE", True)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_k, argnums=tuple(range(8)))(*args)
+    g2 = jax.grad(loss_r, argnums=tuple(range(8)))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_supports_mha_bwd_gate():
+    from asva_tpu.ops.pallas_fused import supports_mha_bwd
+    ok, bm = supports_mha_bwd(12 * 1024, 1024, 320, 8, jnp.bfloat16)
+    assert ok and 12 * 1024 % bm == 0
+    ok, _ = supports_mha_bwd(3072, 256, 640, 8, jnp.bfloat16)
+    assert ok
+    assert not supports_mha_bwd(1000, 128, 320, 8, jnp.bfloat16)[0]
+    assert not supports_mha_bwd(512, 100, 320, 8, jnp.bfloat16)[0]
+
+
 def test_pad_heads_roundtrip(rng):
     """Padded projections compute the same attention as unpadded."""
     c, heads = 320, 8

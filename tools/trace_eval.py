@@ -71,7 +71,11 @@ def _train_step(B, F, DT):
                                    build_optimizer, trainable_mask)
     from __graft_entry__ import _materialize
 
-    unet = AudioUNet3D(UNet3DConfig(remat=True, remat_policy="highres"),
+    policy = "highres"
+    for pol in ("dots", "highres", "full", "l0", "saveconv"):
+        if f"--remat_{pol}" in sys.argv:
+            policy = pol
+    unet = AudioUNet3D(UNet3DConfig(remat=True, remat_policy=policy),
                        dtype=DT)
     vae = AutoencoderKL(VAEConfig(), dtype=DT)
     audio_enc = SegmaskAudioEncoder(ImageBindAudioConfig(), n_segment=F,
@@ -89,12 +93,22 @@ def _train_step(B, F, DT):
         unet=unet, vae=vae, audio_encoder=audio_enc, vae_params=vae_params,
         audio_encoder_params=audio_params,
         null_text_encoding=jnp.zeros((1, 77, 768), DT))
-    tx = build_optimizer(1e-4, mask=trainable_mask(unet_params))
-    state = TrainState(jnp.zeros((), jnp.int32), unet_params,
-                       tx.init(unet_params))
+    # subtree flow, same as bench.py --train default (grads/opt state over
+    # the trainable _temp/_audio slice only); --full_wgrads for the r2 flow
+    mask = trainable_mask(unet_params)
+    if "--full_wgrads" in sys.argv:
+        tx = build_optimizer(1e-4, mask=mask)
+        state = TrainState(jnp.zeros((), jnp.int32), unet_params,
+                           tx.init(unet_params))
+        step = trainer.make_train_step(tx, donate=True)
+    else:
+        from asva_tpu.training.optim import partition_params
+        tx = build_optimizer(1e-4)
+        state = TrainState(jnp.zeros((), jnp.int32), unet_params,
+                           tx.init(partition_params(unet_params, mask)[0]))
+        step = trainer.make_train_step(tx, donate=True, mask=mask)
     # donate=True: without it two 4.7 GB param+opt states are live and the
     # profiled step OOMs (CLAUDE.md); the state is threaded through a holder
-    step = trainer.make_train_step(tx, donate=True)
     rng = np.random.default_rng(0)
     batch = {
         "videos": jnp.asarray(rng.random((B, F, 256, 256, 3)), jnp.float32),
@@ -136,6 +150,18 @@ def main():
     dev = [e for e in ev if e.get("ph") == "X"
            and pids.get(e.get("pid", -1), "") == "/device:TPU:0"
            and not e["name"].startswith("jit")]
+
+    # whole-program spans land on the device track with a bare run-id name
+    # and no hlo_category; they cover every op in the step and would
+    # double-count the table (saveconv trace: three ~465 ms spans = the
+    # 3 profiled steps) — report them as the per-step program time instead
+    prog = [e for e in dev if "hlo_category" not in e.get("args", {})
+            and e["dur"] > 50e3]
+    if prog:
+        print(f"program spans: {len(prog)} x "
+              f"{np.mean([e['dur'] for e in prog])/1e3:.1f} ms "
+              "(whole-step device time; excluded from the table)")
+        dev = [e for e in dev if e not in prog]
 
     cat = collections.Counter()
     byts = collections.Counter()
