@@ -185,14 +185,18 @@ def bench_sync():
     }
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["av_loss"]))
-    times = []
-    for i in range(5):
-        t0 = time.perf_counter()
+    # pipelined timing loop (see bench_train): enqueue steps back-to-back,
+    # materialize every loss at the end — errors still surface there
+    N = 6
+    mets = []
+    t0 = time.perf_counter()
+    for i in range(N):
         state, metrics = step(state, batch)
-        lf = float(metrics["av_loss"])   # forces completion; surfaces OOM
-        times.append(time.perf_counter() - t0)
-        assert np.isfinite(lf), lf
-    sps = 1.0 / min(times)
+        mets.append(metrics["av_loss"])
+    lf = [float(l) for l in mets]        # blocks; raises on OOM
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(l) for l in lf), lf
+    sps = N / dt
     # reference scale: 350k steps over ~4 days on 8 GPUs ~= 1.0 step/s
     # total ~= 0.127 steps/s/GPU at batch 4
     est_a4500 = 0.127
