@@ -99,10 +99,13 @@ class UpBlock(nn.Module):
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
             res = res_states.pop()
-            x = jnp.concatenate([x, res], axis=-1)
+            # pass the skip concat as channel PARTS: the resnet pools joint
+            # GroupNorm stats and runs split-kernel convs, so the wide
+            # (e.g. 960/1920-channel) concat never materializes and each
+            # conv tiles at its clean width (see primitives.Conv2DParams)
             x = FFResnetBlock(self.out_channels, groups=self.groups,
                               eps=self.eps, dtype=self.dtype,
-                              name=f"resnets_{i}")(x, temb)
+                              name=f"resnets_{i}")((x, res), temb)
             if self.has_attention:
                 x = SpatioAudioTempTransformer3D(
                     self.num_heads, head_dim, norm_num_groups=self.groups,

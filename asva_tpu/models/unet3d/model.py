@@ -127,8 +127,12 @@ class AudioUNet3D(nn.Module):
             if cfg.remat_policy == "l0" and level >= 1:
                 return cls_
             if cfg.remat_policy == "saveconv":
+                # "attn_res": the fused-attention o/lse residuals
+                # (ops/pallas_fused._attn_fwd) — saving them means the
+                # flash attention forward kernel runs once per step, never
+                # in the remat recompute or the sub-layer's own backward
                 policy = jax.checkpoint_policies.save_only_these_names(
-                    "conv_out", "sublayer_x")
+                    "conv_out", "sublayer_x", "attn_res")
                 return nn.remat(cls_, policy=policy)
             return nn.remat(cls_)
 

@@ -48,8 +48,52 @@ class InflatedConv(nn.Module):
         return x.reshape((b, f) + x.shape[1:])
 
 
+class Conv2DParams(nn.Module):
+    """nn.Conv-equivalent 2D conv whose input may arrive PRE-CONCAT as a
+    tuple of channel parts: conv(concat(parts), K) == sum_p conv(part_p, K_p)
+    with K split along its input-channel axis.  Param path/shape/init are
+    identical to nn.Conv (kernel (kh, kw, Cin, Cout) lecun_normal, bias
+    zeros) so checkpoints are interchangeable.
+
+    The split evaluation exists because XLA tiles two clean-width convs
+    measurably better than one odd-width concat conv (v5e micro, 48x32x32
+    960->320: 95 -> 123 TFLOPS; 48x16x16 1920->640: 112 -> 135) AND the
+    concat itself never materializes in HBM — the up-path skip concats are
+    the largest conv cost in both the eval and train profiles."""
+    features: int
+    in_features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[Tuple[int, int], Tuple[int, int]]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dn = jax.lax.conv_dimension_numbers(
+            parts[0].shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        out = None
+        off = 0
+        for p in parts:
+            ci = int(p.shape[-1])
+            y = jax.lax.conv_general_dilated(
+                p.astype(self.dtype),
+                kernel[:, :, off:off + ci, :].astype(self.dtype),
+                self.strides, self.padding, dimension_numbers=dn)
+            out = y if out is None else out + y
+            off += ci
+        assert off == self.in_features, (off, self.in_features)
+        return out + bias.astype(out.dtype)
+
+
 class FFInflatedConv(nn.Module):
-    """Per-frame 2D conv + residual zero-init 3-tap temporal linear mix."""
+    """Per-frame 2D conv + residual zero-init 3-tap temporal linear mix.
+
+    Accepts either one (b, f, h, w, c) tensor or a tuple of channel parts
+    standing for their (never-materialized) concat — see Conv2DParams."""
     features: int
     kernel_size: Union[int, Tuple[int, int]] = 3
     strides: Union[int, Tuple[int, int]] = 1
@@ -57,14 +101,16 @@ class FFInflatedConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, f = x.shape[0], x.shape[1]
+    def __call__(self, x) -> jnp.ndarray:
+        parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        b, f = parts[0].shape[0], parts[0].shape[1]
         kh, kw = _pair(self.kernel_size)
         ph, pw = _pair(self.padding)
-        y = x.reshape((b * f,) + x.shape[2:])
-        y = nn.Conv(self.features, (kh, kw), strides=_pair(self.strides),
-                    padding=((ph, ph), (pw, pw)), dtype=self.dtype,
-                    name="conv")(y)
+        cin = sum(int(p.shape[-1]) for p in parts)
+        flat = tuple(p.reshape((b * f,) + p.shape[2:]) for p in parts)
+        y = Conv2DParams(self.features, cin, (kh, kw), _pair(self.strides),
+                         ((ph, ph), (pw, pw)), dtype=self.dtype,
+                         name="conv")(flat)
         y = y.reshape((b, f) + y.shape[1:])  # (b, f, h, w, C)
         # marker for the "saveconv" remat policy (model.py): saving the 2D
         # conv output lets backward skip re-running the conv entirely — its

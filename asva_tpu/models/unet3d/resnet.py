@@ -27,11 +27,21 @@ class FFResnetBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray,
+    def __call__(self, x,
                  temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        in_channels = x.shape[-1]
-        h = VideoGroupNorm(self.groups, self.eps, name="norm1")(x)
-        h = nn.silu(h)
+        # A tuple input is the channel parts of a virtual concat (up-path
+        # [hidden, skip]): norm1 pools joint group stats over the parts and
+        # conv1/conv_shortcut run split-kernel — the concat never
+        # materializes and the split convs tile better (see Conv2DParams).
+        parts = tuple(x) if isinstance(x, (tuple, list)) else None
+        if parts is not None:
+            in_channels = sum(int(p.shape[-1]) for p in parts)
+            h = VideoGroupNorm(self.groups, self.eps, name="norm1")(parts)
+            h = tuple(nn.silu(p) for p in h)
+        else:
+            in_channels = x.shape[-1]
+            h = VideoGroupNorm(self.groups, self.eps, name="norm1")(x)
+            h = nn.silu(h)
         h = FFInflatedConv(self.out_channels, 3, 1, 1, dtype=self.dtype,
                            name="conv1")(h)
 
@@ -55,7 +65,10 @@ class FFResnetBlock(nn.Module):
 
         if in_channels != self.out_channels:
             x = FFInflatedConv(self.out_channels, 1, 1, 0, dtype=self.dtype,
-                               name="conv_shortcut")(x)
+                               name="conv_shortcut")(
+                parts if parts is not None else x)
+        elif parts is not None:  # identity residual needs the real concat
+            x = jnp.concatenate(parts, axis=-1)
         return (x + h) / self.output_scale_factor
 
 

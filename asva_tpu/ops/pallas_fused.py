@@ -33,14 +33,18 @@ Kernels:
 
 Backward: fused_ln_geglu falls back to jax.vjp of the numerically-
 equivalent XLA composite (same pattern as ops/pallas_attn.py).
-fused_ln_attn's backward uses the same composite for the LN/projection
-chain but routes the attention itself through `mha_kvshared` — a
-custom_vjp whose BACKWARD is a Pallas flash kernel (tiled over query
-blocks, K/V + fp32 dK/dV accumulators VMEM-resident, probabilities
-rebuilt per tile from the forward's saved log-sum-exp).  Without it XLA
-materializes the (G, H, M, Sk) fp32 probabilities in HBM — 1.6 GB per
-level-0 spatial attention at train shapes, measured 89 ms / 71 GB of a
-~465 ms train step.
+fused_ln_attn, when differentiated, runs its FORWARD as the composite
+(cheap XLA LN / q-proj / out-proj around the `_mha_fwd_flat` flash kernel,
+which also emits the per-head log-sum-exp) and saves o + lse as residuals
+named "attn_res"; its backward is hand-written — prefix (LN+q-proj) vjp,
+projection matmul grads, and the `_mha_bwd_flat` flash kernel (tiled over
+query blocks, K/V + fp32 dK/dV accumulators VMEM-resident, probabilities
+rebuilt per tile from the saved log-sum-exp).  So the attention forward
+runs exactly once per train step under the "saveconv" remat policy (which
+saves "attn_res"), and the (G, H, M, Sk) fp32 probabilities XLA would
+otherwise materialize in HBM — 1.6 GB per level-0 spatial attention at
+train shapes, measured 89 ms / 71 GB of a ~465 ms train step — never
+exist in either direction.
 
 Reference semantics being fused (not copied):
   avgen/models/unets/transformers/ff_spatio_audio_temp_transformer_3d.py
@@ -338,37 +342,80 @@ def fused_ln_attn(x, ls, lb, wq, wo, bo, k, v, eps: float, num_heads: int,
 
 
 def _attn_fwd(x, ls, lb, wq, wo, bo, k, v, eps, num_heads, kv_len, block_m):
+    ok_b, bwd_bm = supports_mha_bwd(x.shape[1], k.shape[1], wq.shape[1],
+                                    num_heads, x.dtype)
+    if enabled() and ok_b:
+        # DIFFERENTIATED forward: run the composite (cheap XLA LN/q-proj/
+        # out-proj around the flash kernel) and keep o + lse as NAMED
+        # residuals.  The backward then never re-runs the attention forward
+        # — it re-derives q from x via the cheap LN+matmul prefix and feeds
+        # the flash backward kernel directly.  Under the `saveconv` remat
+        # policy the "attn_res" name keeps o/lse across the remat boundary,
+        # so the fwd attention kernel runs exactly ONCE per train step
+        # (previously: fwd + remat recompute + vjp recompute).
+        from jax.ad_checkpoint import checkpoint_name
+        d = x.shape[2] // num_heads
+        xn = _ln_rows(x.astype(_F32), ls.astype(_F32).reshape(1, 1, -1),
+                      lb.astype(_F32).reshape(1, 1, -1), eps).astype(x.dtype)
+        q = jax.lax.dot_general(xn, wq.astype(x.dtype),
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=_F32).astype(x.dtype)
+        o, lse = _mha_fwd_flat(q, k, v, num_heads, kv_len, 1.0 / (d ** 0.5),
+                               bwd_bm)
+        y = jax.lax.dot_general(o, wo.astype(x.dtype),
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=_F32)
+        out = x + (y + bo.astype(_F32).reshape(1, 1, -1)).astype(x.dtype)
+        o = checkpoint_name(o, "attn_res")
+        lse = checkpoint_name(lse, "attn_res")
+        return out, (x, ls, lb, wq, wo, bo, k, v, o, lse)
     out = _ln_attn_flat(x, ls, lb, wq, wo, bo, k, v, eps, num_heads,
                         kv_len, block_m)
     return out, (x, ls, lb, wq, wo, bo, k, v)
 
 
-def _ln_attn_composite(x, ls, lb, wq, wo, bo, k, v, eps, num_heads, kv_len,
-                       block_m):
-    """Same math as _ln_attn_reference, but the attention runs through
-    mha_kvshared so differentiating it yields the Pallas flash backward
-    instead of XLA's HBM-materialized fp32 probabilities."""
-    g_, m, c = x.shape
-    d = c // num_heads
-    xn = _ln_rows(x.astype(_F32), ls.astype(_F32).reshape(1, 1, -1),
-                  lb.astype(_F32).reshape(1, 1, -1), eps).astype(x.dtype)
-    q = jax.lax.dot_general(xn, wq.astype(x.dtype), (((2,), (0,)), ((), ())),
-                            preferred_element_type=_F32).astype(x.dtype)
-    o = mha_kvshared(q, k, v, num_heads, kv_len, 1.0 / (d ** 0.5), block_m)
-    y = jax.lax.dot_general(o, wo.astype(x.dtype), (((2,), (0,)), ((), ())),
-                            preferred_element_type=_F32)
-    return x + (y + bo.astype(_F32).reshape(1, 1, -1)).astype(x.dtype)
-
-
 def _attn_bwd(eps, num_heads, kv_len, block_m, res, g):
+    if len(res) == 10:
+        # manual backward around the saved (o, lse): the attention forward
+        # kernel NEVER re-runs.  Only the LN + q-projection prefix is
+        # recomputed (two cheap ops) to obtain q and its vjp.
+        x, ls, lb, wq, wo, bo, k, v, o, lse = res
+        _, bwd_bm = supports_mha_bwd(x.shape[1], k.shape[1], wq.shape[1],
+                                     num_heads, x.dtype)
+        d = x.shape[2] // num_heads
+        dp = wq.shape[1] // num_heads
+
+        def prefix(x_, ls_, lb_, wq_):
+            xn = _ln_rows(x_.astype(_F32),
+                          ls_.astype(_F32).reshape(1, 1, -1),
+                          lb_.astype(_F32).reshape(1, 1, -1),
+                          eps).astype(x.dtype)
+            return jax.lax.dot_general(
+                xn, wq_.astype(x.dtype), (((2,), (0,)), ((), ())),
+                preferred_element_type=_F32).astype(x.dtype)
+
+        q, prefix_vjp = jax.vjp(prefix, x, ls, lb, wq)
+        g32 = g.astype(_F32)
+        # out = x + cast(o @ wo_cast + bo32)
+        do = jax.lax.dot_general(
+            g32, wo.astype(x.dtype).astype(_F32),
+            (((2,), (1,)), ((), ())),
+            preferred_element_type=_F32).astype(x.dtype)       # (G, M, HDp)
+        dwo = jax.lax.dot_general(
+            o.astype(_F32), g32, (((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=_F32).astype(wo.dtype)      # (HDp, C)
+        dbo = jnp.sum(g32, axis=(0, 1)).reshape(bo.shape).astype(bo.dtype)
+        # flash identity: rowsum(dP * P) == per-head rowsum(dO * O)
+        gm = x.shape[0], x.shape[1]
+        dd = jnp.sum(do.astype(_F32).reshape(gm + (num_heads, dp))
+                     * o.astype(_F32).reshape(gm + (num_heads, dp)),
+                     axis=-1)                                  # (G, M, H)
+        dq, dk, dv = _mha_bwd_flat(q, k, v, do, lse, dd, num_heads,
+                                   kv_len, 1.0 / (d ** 0.5), bwd_bm)
+        dx_p, dls, dlb, dwq = prefix_vjp(dq)
+        return (g + dx_p, dls, dlb, dwq, dwo, dbo, dk, dv)
     x, ls, lb, wq, wo, bo, k, v = res
-    ok, bwd_bm = supports_mha_bwd(x.shape[1], k.shape[1], wq.shape[1],
-                                  num_heads, x.dtype)
-    if enabled() and ok:
-        fn = lambda *a: _ln_attn_composite(*a, eps, num_heads, kv_len,
-                                           bwd_bm)
-    else:
-        fn = lambda *a: _ln_attn_reference(*a, eps, num_heads, kv_len)
+    fn = lambda *a: _ln_attn_reference(*a, eps, num_heads, kv_len)
     _, vjp = jax.vjp(fn, x, ls, lb, wq, wo, bo, k, v)
     return vjp(g)
 
@@ -540,7 +587,9 @@ def mha_kvshared(q, k, v, num_heads: int, kv_len, scale: float,
                  block_m: int):
     """Multi-head attention, flat per-head-slot layout: q (G, M, H*Dp),
     k/v (G, Sk, H*Dp) pre-projected -> o (G, M, H*Dp).  Forward AND
-    backward are Pallas kernels; logits/probabilities never leave VMEM."""
+    backward are Pallas kernels; logits/probabilities never leave VMEM.
+    (fused_ln_attn's fwd/bwd rules call the flat kernels directly; this
+    wrapper is the standalone differentiable API.)"""
     o, _ = _mha_fwd_flat(q, k, v, num_heads, kv_len, scale, block_m)
     return o
 

@@ -141,3 +141,41 @@ def test_tiny_unet_remat_matches(rng):
     o2 = m2.apply(params, sample, t, text, audio, mask)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5,
                                rtol=1e-5)
+
+
+def test_ff_resnet_pair_input_matches_concat(rng):
+    """The up-path split form ((x, skip) parts: joint-stats GroupNorm +
+    split-kernel convs, primitives.Conv2DParams) must equal the plain
+    concat evaluation with the SAME params.  The part boundary (5) is
+    chosen to straddle group boundaries (12ch/4g = 3ch groups)."""
+    b, f, h, w = 2, 3, 6, 6
+    cx, cs, co, temb_c = 5, 7, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, f, h, w, cx)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((b, f, h, w, cs)), jnp.float32)
+    temb = jnp.asarray(rng.standard_normal((b, f, temb_c)), jnp.float32)
+    mod = FFResnetBlock(out_channels=co, temb_channels=temb_c, groups=4,
+                        eps=1e-5)
+    params = mod.init(jax.random.PRNGKey(0),
+                      jnp.concatenate([x, s], axis=-1), temb)
+    # non-trivial temporal mix so the FF path is exercised
+    params = jax.tree.map(
+        lambda p: p + 0.01 if p.ndim == 2 else p, params)
+    ref = mod.apply(params, jnp.concatenate([x, s], axis=-1), temb)
+    out = mod.apply(params, (x, s), temb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ff_resnet_pair_identity_shortcut(rng):
+    """Pair input whose total width equals out_channels must still produce
+    the concat residual (identity shortcut fallback)."""
+    b, f, h, w = 1, 2, 4, 4
+    x = jnp.asarray(rng.standard_normal((b, f, h, w, 3)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((b, f, h, w, 5)), jnp.float32)
+    mod = FFResnetBlock(out_channels=8, temb_channels=None, groups=4,
+                        eps=1e-5)
+    params = mod.init(jax.random.PRNGKey(0), (x, s))
+    ref = mod.apply(params, jnp.concatenate([x, s], axis=-1))
+    out = mod.apply(params, (x, s))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
