@@ -144,8 +144,8 @@ class AudioVideoDataset:
             wav = np.pad(wav, (0, target - wav.shape[0]))
         wav = wav[:target]
 
-        out = {"video": video.astype(np.float32),
-               "waveform": wav.astype(np.float32)}
+        out = {"video": video.astype(np.float32, copy=False),
+               "waveform": wav.astype(np.float32, copy=False)}
         enc = self._class_text_encoding(index)
         if enc is not None:
             out["text_encoding"] = enc

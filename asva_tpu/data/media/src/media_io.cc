@@ -41,6 +41,11 @@ struct Reader {
   int vstream = -1;
   int astream = -1;
   SwsContext* sws = nullptr;
+  // sws_scale's SIMD paths can write past the end of the final row (24
+  // bytes observed with AVX2 RGB24 output), so scaling straight into the
+  // caller's tightly-sized numpy buffer corrupts the heap.  Scale into
+  // this padded, row-aligned scratch instead and memcpy tight rows out.
+  std::vector<uint8_t> rgb_scratch;
   std::string error;
 };
 
@@ -176,9 +181,15 @@ int mr_read_video_clip(void* h, double start, double duration, double fps,
       return;
     }
     if (pts >= next_target && collected < num_frames) {
-      uint8_t* dst[1] = {out + (size_t)collected * H * W * 3};
-      int dst_stride[1] = {W * 3};
+      const int stride = (W * 3 + 63) & ~63;
+      r->rgb_scratch.resize((size_t)stride * H + 64);
+      uint8_t* dst[4] = {r->rgb_scratch.data(), nullptr, nullptr, nullptr};
+      int dst_stride[4] = {stride, 0, 0, 0};
       sws_scale(r->sws, f->data, f->linesize, 0, H, dst, dst_stride);
+      uint8_t* frame_out = out + (size_t)collected * H * W * 3;
+      for (int y = 0; y < H; ++y)
+        std::memcpy(frame_out + (size_t)y * W * 3,
+                    r->rgb_scratch.data() + (size_t)y * stride, W * 3);
       ++collected;
       next_target += keyframe_cov;
       if (collected == num_frames) done = true;

@@ -111,8 +111,10 @@ class MultiPairAVDataset:
             rh, rw = max(s, int(round(h * s / w))), s
         x = np.asarray(resize_image(x, rh, rw, "bicubic", antialias=True))
         y0, x0 = (rh - s) // 2, (rw - s) // 2
-        x = x[:, y0:y0 + s, x0:x0 + s]
-        return (x - CLIP_MEAN) / CLIP_STD
+        x = np.ascontiguousarray(x[:, y0:y0 + s, x0:x0 + s])
+        x -= CLIP_MEAN
+        x /= CLIP_STD
+        return x
 
     def __getitem__(self, index) -> dict:
         for attempt in range(len(self.examples)):
@@ -157,8 +159,11 @@ class MultiPairAVDataset:
             # assign nearest decoded frame to each clip frame
             idx = np.abs(frame_secs[:, :, None]
                          - src_secs[None, None, :]).argmin(axis=2)
-            videos = self._clip_preprocess(
-                all_frames[idx.reshape(-1)]).reshape(
+            # shifted clips share most source frames (adjacent clips
+            # overlap by ~f-shift*fps frames): preprocess each unique
+            # decoded frame ONCE, then gather into the (k, f) layout
+            uniq, inv = np.unique(idx.reshape(-1), return_inverse=True)
+            videos = self._clip_preprocess(all_frames[uniq])[inv].reshape(
                 (k, f, self.image_size, self.image_size, 3))
             if self.randflip:
                 for i in range(k):
@@ -178,5 +183,5 @@ class MultiPairAVDataset:
             clips[i, :len(seg)] = seg
 
         return {"index": index,
-                "videos": videos.astype(np.float32),
+                "videos": videos.astype(np.float32, copy=False),
                 "waveforms": clips}

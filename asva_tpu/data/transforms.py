@@ -39,11 +39,15 @@ def _center_trim_to_aspect(images: jnp.ndarray, target_h: int,
     return images[..., y0:y0 + trimmed_h, :, :]
 
 
-def sd_video_transform(frames: jnp.ndarray,
+def sd_video_transform(frames,
                        size: Union[int, Tuple[int, int]] = 256,
                        flip: bool = False,
-                       normalize: bool = True) -> jnp.ndarray:
-    """frames (..., h, w, 3) in [0,1] -> (..., th, tw, 3)."""
+                       normalize: bool = True):
+    """frames (..., h, w, 3) in [0,1] -> (..., th, tw, 3).
+
+    Polymorphic like resize_image: numpy in -> numpy out (host loader
+    threads stay off the device), jax in -> jax out (jit-able).
+    """
     th, tw = (size, size) if isinstance(size, int) else size
     x = _center_trim_to_aspect(frames, th, tw)
     # torchvision Resize((th, tw)) with a tuple resizes EXACTLY to the target

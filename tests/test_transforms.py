@@ -37,6 +37,25 @@ def test_resize_no_antialias_upsample_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(out), ref, **TOL)
 
 
+@pytest.mark.parametrize("kind", ["bilinear", "bicubic"])
+@pytest.mark.parametrize("in_hw,out_hw,antialias",
+                         [((64, 48), (32, 32), True),
+                          ((31, 57), (224, 224), True),
+                          ((270, 360), (224, 298), True),
+                          ((16, 16), (33, 47), False)])
+def test_numpy_path_matches_jax_path(rng, kind, in_hw, out_hw, antialias):
+    """Host loaders use the pure-numpy sparse-tap path; it must produce
+    the same values as the jnp dense-matrix path (which is itself
+    torch-parity-tested above)."""
+    x = rng.random((2, *in_hw, 3)).astype(np.float32)
+    out_np = resize_image(x, out_hw[0], out_hw[1], kind, antialias)
+    out_jx = resize_image(jnp.asarray(x), out_hw[0], out_hw[1], kind,
+                          antialias)
+    assert isinstance(out_np, np.ndarray)
+    np.testing.assert_allclose(out_np, np.asarray(out_jx), atol=2e-5,
+                               rtol=2e-4)
+
+
 def test_sd_video_transform_shapes_and_range(rng):
     frames = jnp.asarray(rng.random((12, 360, 640, 3)), dtype=jnp.float32)
     out = sd_video_transform(frames, 256, normalize=True)
