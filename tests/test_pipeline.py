@@ -59,6 +59,21 @@ def test_pipeline_generates(tiny_pipeline, rng, sampler, tg, ag):
     assert np.isfinite(v).all() and v.min() >= 0.0 and v.max() <= 1.0
 
 
+def test_pipeline_non_square(tiny_pipeline, rng):
+    """TheGreatestHits runs at 128x256 (h != w): the whole stack — VAE
+    encode/decode, UNet spatial attention, frame-0 KV gather — must work
+    for rectangular frames (reference configs/.../TheGreatestHits yaml)."""
+    images = jnp.asarray(rng.random((1, 16, 32, 3)), dtype=jnp.float32)
+    mels = jnp.asarray(rng.standard_normal((1, 128, 204, 1)),
+                       dtype=jnp.float32)
+    text = jnp.asarray(rng.standard_normal((1, 7, 768)), dtype=jnp.float32)
+    videos = tiny_pipeline(images, mels, text, video_length=4,
+                           num_inference_steps=2, sampler="ddim",
+                           rng=jax.random.PRNGKey(2))
+    assert videos.shape == (1, 4, 16, 32, 3)
+    assert np.isfinite(np.asarray(videos)).all()
+
+
 def test_pipeline_first_frame_latent_pinned(tiny_pipeline, rng):
     images = jnp.asarray(rng.random((1, 16, 16, 3)), dtype=jnp.float32)
     mels = jnp.asarray(rng.standard_normal((1, 128, 204, 1)),

@@ -39,7 +39,7 @@ from asva_tpu.data.multipair import MultiPairAVDataset  # noqa: E402
 # measured on v5e-1 (bench.py --train / --sync); used only to report
 # headroom, re-measure if the step time changes materially
 ANIMATION_DEMAND = 2.40 * 4     # steps/s x per-chip batch
-SYNC_DEMAND = 4.94 * 4          # steps/s x per-chip batch (each item = 21
+SYNC_DEMAND = 4.36 * 4          # steps/s x per-chip batch (each item = 21
 #                                 clips; the dataset item IS the 21-tuple)
 
 
