@@ -55,6 +55,28 @@ class DataLoader:
     def load_state_dict(self, state: dict) -> None:
         self.epoch = int(state["epoch"])
         self._cursor = int(state["cursor"])
+        saved_seed = state.get("seed")
+        if saved_seed is not None and int(saved_seed) != self.seed:
+            # the cursor counts batches of the shuffle order generated from
+            # the SAVED seed; fast-forwarding a differently-seeded order
+            # would re-train some examples and skip others.  Adopt the
+            # checkpoint's seed so the resumed order matches what the
+            # crashed run actually consumed.
+            import logging
+            logging.getLogger(__name__).warning(
+                "DataLoader resume: checkpoint seed %s != configured seed "
+                "%s; adopting the checkpoint seed to keep the consumed-"
+                "batch cursor meaningful", saved_seed, self.seed)
+            self.seed = int(saved_seed)
+
+    def reset(self) -> None:
+        """Forget epoch/cursor state: the next __iter__ starts at the top.
+
+        Use for stateless passes (e.g. periodic in-train eval) that may
+        break out early — without this, the persistent cursor would make
+        each pass see a different sliding window of the dataset."""
+        self.epoch = 0
+        self._cursor = 0
 
     def _indices(self):
         order = list(range(len(self.dataset)))
@@ -78,6 +100,18 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # stop-aware put: a producer blocked on a full queue must still
+            # observe an early consumer exit, or it leaks its thread pool
+            # and ~prefetch decoded batches forever
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 from concurrent.futures import ThreadPoolExecutor
@@ -90,11 +124,12 @@ class DataLoader:
                         collated = {
                             k: np.stack([it[k] for it in items])
                             for k in items[0]}
-                        out_q.put(collated)
+                        if not put(collated):
+                            return
             except Exception as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                put(e)
             finally:
-                out_q.put(None)
+                put(None) if not stop.is_set() else None
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -112,3 +147,11 @@ class DataLoader:
             self._cursor = 0
         finally:
             stop.set()
+            # unblock a producer mid-put and reap the thread (and its
+            # ThreadPoolExecutor) instead of leaking one per early exit
+            while True:
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=30.0)

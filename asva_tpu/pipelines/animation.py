@@ -75,17 +75,16 @@ class AnimationPipeline:
         return jax.lax.with_sharding_constraint(
             latents, NamedSharding(self.mesh, spec))
 
-    def _ctx_constraint(self, x, batched: bool = False):
+    def _ctx_constraint(self, x):
         """Fully REPLICATE conditioning tensors under seq parallelism.
 
         The text/audio contexts are cross-attention K/V sources: every seq
         (frame) shard reads all of them, and they are tiny (<=229x768 per
-        item), so replication is the right layout.  Pinning them to
-        P(data) instead (r2's first attempt) conflicts with the
-        partitioner's downstream preference and triggers the
-        'involuntary full rematerialization' reshard on the broadcast
-        null-context operand (r2 dryrun warning)."""
-        del batched
+        item), so replication is the right layout — including over the
+        data axis (the contexts are then broadcast/stacked with batch-1
+        null contexts, and a P(data)-sharded operand there is what
+        triggered the partitioner's 'involuntary full rematerialization'
+        reshard in r2's first attempt)."""
         if self.mesh is None or "seq" not in self.mesh.axis_names:
             return x
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -174,13 +173,14 @@ class AnimationPipeline:
         def program(unet_params, latents, text_ctx, null_text_ctx,
                     audio_ctx, null_audio_ctx, audio_token_indices):
             b = latents.shape[0]
-            # batch-carrying contexts: shard over data, replicate over seq.
-            # The batch-1 null contexts/token indices are NOT constrained
-            # here — they arrive replicated via _replicate(); an in-program
-            # constraint would materialize exactly the reshard copy the
-            # replication avoids.
-            text_ctx = self._ctx_constraint(text_ctx, batched=True)
-            audio_ctx = self._ctx_constraint(audio_ctx, batched=True)
+            # batch-carrying contexts: fully replicated (tiny; every seq
+            # shard reads them all — see _ctx_constraint).  The batch-1
+            # null contexts/token indices are NOT constrained here — they
+            # arrive replicated via _replicate(); an in-program constraint
+            # would materialize exactly the reshard copy the replication
+            # avoids.
+            text_ctx = self._ctx_constraint(text_ctx)
+            audio_ctx = self._ctx_constraint(audio_ctx)
 
             def rep(x):
                 return jnp.broadcast_to(x, (b,) + x.shape[1:])

@@ -96,7 +96,7 @@ def build_eval_models(args):
             jax.jit(lambda p, x: fid_net.apply(p, jnp.asarray(x))), fid_vars)
 
     if args.eval_fvd:
-        i3d_net = InceptionI3D()
+        i3d_net = InceptionI3D(bn_eps=args.i3d_bn_eps)
         i3d_vars = jax.jit(lambda: i3d_net.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 12, 224, 224, 3))))()
         i3d_path = _find_file(os.path.join(root, "i3d_state.pt"))
@@ -212,6 +212,11 @@ def main():
     p.add_argument("--allow_random_eval_nets", action="store_true",
                    help="compute metrics even when a metric net's weights "
                         "are missing (CLEARLY LABELED; numbers meaningless)")
+    p.add_argument("--i3d_bn_eps", type=float, default=1e-5,
+                   help="BatchNorm epsilon inside the FVD I3D: 1e-5 matches "
+                        "the reference's pytorch_i3d source; the PUBLISHED "
+                        "TF-converted i3d_torchscript.pt blob may use TF's "
+                        "1e-3 — pass 1e-3 when evaluating against it")
     args = p.parse_args()
 
     if args.image_size is None:

@@ -127,10 +127,15 @@ def main():
             for batch in train_loader:
                 if step >= max_steps:
                     break
-                mels = mels_fn(jnp.asarray(batch["waveforms"]))
-                dev = make_global_batch({"mels": mels,
+                # build the global batch from HOST arrays, then mel on
+                # device from the already-global waveforms — computing the
+                # mel first would round-trip it device->host->device inside
+                # make_global_batch on multi-process runs
+                dev = make_global_batch({"waveforms": batch["waveforms"],
                                          "videos": batch["videos"]}, bshard)
-                state, metrics = step_fn(state, dev)
+                state, metrics = step_fn(
+                    state, {"mels": mels_fn(dev["waveforms"]),
+                            "videos": dev["videos"]})
                 step = int(state.step)
                 for name in meter:
                     meter[name].update(float(metrics[name]))
@@ -179,6 +184,10 @@ def evaluate(trainer, state, test_loader, mels_fn, log, step=0,
 
     sums = {k: 0.0 for k in ("av_loss", "va_loss", "av_acc", "va_acc")}
     count = 0
+    # stateless pass: without reset() the loader's persistent resume
+    # cursor would make every eval (which breaks at max_batches) see a
+    # different sliding window of the test set — eventually none at all
+    test_loader.reset()
     for i, batch in enumerate(test_loader):
         if i >= max_batches:
             break

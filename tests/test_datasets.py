@@ -174,3 +174,65 @@ def test_loader_resume_continues_data_order(dataset_root):
     for ba, bb in zip(consumed + resumed, truth):
         np.testing.assert_array_equal(ba["video"], bb["video"])
     assert len(consumed) + len(resumed) == len(truth)
+
+
+def test_loader_reset_gives_stateless_eval_passes(dataset_root):
+    """In-train eval breaks out early; reset() must make every pass see
+    the SAME window from the top (without it, the persistent resume
+    cursor slides the window each call until it's empty)."""
+    import threading
+
+    from asva_tpu.data.datasets import AudioVideoDataset
+    from asva_tpu.data.loader import DataLoader
+    root, lst, enc, mapping = dataset_root
+    ds = AudioVideoDataset(lst, str(root), mode="test", img_size=32,
+                           seed=3)
+    dl = DataLoader(ds, batch_size=1, shuffle=False, num_workers=2,
+                    drop_last=False, prefetch=1)
+
+    def take(n):
+        dl.reset()
+        out = []
+        for i, b in enumerate(dl):
+            if i >= n:
+                break
+            out.append(b["video"])
+        return out
+
+    before = threading.active_count()
+    first = take(2)
+    second = take(2)
+    assert len(first) == len(second) == 2
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+    # early exits must not leak producer threads/pools
+    assert threading.active_count() <= before + 1
+
+
+def test_loader_resume_adopts_checkpoint_seed(dataset_root):
+    """A cursor counts batches of the shuffle order of the SAVED seed; a
+    loader restored with a different configured seed must adopt the saved
+    one so fast-forward lands on the truly-unconsumed batches."""
+    from asva_tpu.data.datasets import AudioVideoDataset
+    from asva_tpu.data.loader import DataLoader
+    root, lst, enc, mapping = dataset_root
+
+    def make(seed):
+        ds = AudioVideoDataset(lst, str(root), mode="train", img_size=32,
+                               randflip=True, seed=7)
+        return DataLoader(ds, batch_size=1, shuffle=True, num_workers=2,
+                          drop_last=True, seed=seed)
+
+    run1 = make(7)
+    it = iter(run1)
+    consumed = [next(it), next(it)]
+    saved = run1.state_dict()
+    del it
+
+    run2 = make(8)  # operator changed the config seed before resuming
+    run2.load_state_dict(saved)
+    assert run2.seed == 7
+    resumed = list(run2)
+    truth = list(make(7))
+    for ba, bb in zip(consumed + resumed, truth):
+        np.testing.assert_array_equal(ba["video"], bb["video"])
