@@ -28,6 +28,41 @@ def test_parse_reference_animation_yaml():
     assert tuple(cfg.dataset.img_size) == (256, 256)
 
 
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_in_tree_configs_match_reference_names():
+    """A reference user's run commands must work verbatim: every reference
+    config filename exists in-tree and parses to the same hyperparams.
+    Deliberate platform divergences only: output_dir label, wandb off by
+    default, bf16 instead of fp16 (the TPU-native mixed precision)."""
+    import dataclasses
+
+    def diffs(a, b, prefix=""):
+        out = []
+        for f in dataclasses.fields(a):
+            va, vb = getattr(a, f.name), getattr(b, f.name)
+            if dataclasses.is_dataclass(va):
+                out += diffs(va, vb, prefix + f.name + ".")
+            elif va != vb:
+                out.append(prefix + f.name)
+        return out
+
+    allowed = {"output_dir", "log_with", "optim.mixed_precision"}
+    for rel in ("configs/audio-cond_animation/avsync15_audio-cond_cfg.yaml",
+                "configs/audio-cond_animation/landscapes_audio-cond_cfg.yaml",
+                "configs/audio-cond_animation/"
+                "thegreatesthits_audio-cond_cfg.yaml"):
+        ours = AnimationJobConfig.from_yaml(os.path.join(REPO, rel))
+        theirs = AnimationJobConfig.from_yaml(os.path.join(REF, rel))
+        assert set(diffs(ours, theirs)) <= allowed, (rel, diffs(ours, theirs))
+    rel = "configs/avsync/vggss_sync_contrast.yaml"
+    ours = SyncJobConfig.from_yaml(os.path.join(REPO, rel))
+    theirs = SyncJobConfig.from_yaml(os.path.join(REF, rel))
+    assert set(diffs(ours, theirs)) <= allowed, diffs(ours, theirs)
+
+
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
 def test_parse_reference_sync_yaml():
     cfg = SyncJobConfig.from_yaml(
