@@ -26,11 +26,9 @@ from typing import Callable, List, Optional, Tuple, Union
 
 import numpy as np
 
-from ..data.media import MediaReader
 from ..data.transforms import (clip_frame_transform, fid_frame_transform,
-                               fvd_frame_transform, sd_video_transform)
+                               fvd_frame_transform)
 from ..ops.mel import waveform_to_mel
-from ..ops.resample import resample
 from .frechet import frechet_distance
 from .metrics import alignsync_from_sims, relsync_from_scores
 
@@ -69,25 +67,19 @@ def load_av_clips_uniformly(video_path: str, video_fps: int,
                             image_size: Union[int, Tuple[int, int]],
                             num_clips: int):
     """(b, f, h, w, 3) [0,1] videos + (b, 128, 204, 1) mels, clips uniformly
-    spaced over the file (reference avgen/data/utils.py:271-330)."""
-    clip_duration = video_num_frame / video_fps
-    with MediaReader(video_path) as r:
-        av_duration = min(r.video_duration, r.audio_duration)
-        if num_clips == 1:
-            starts = np.array([(av_duration - clip_duration) / 2.0])
-        else:
-            starts = np.linspace(0.0, av_duration - clip_duration, num_clips)
-        videos, mels = [], []
-        sr = r.audio_sample_rate
-        for s in starts:
-            frames = r.read_video_clip(max(s, 0.0), clip_duration, video_fps,
-                                       video_num_frame)
-            videos.append(np.asarray(sd_video_transform(
-                frames.astype(np.float32) / 255.0, image_size,
-                normalize=False)))
-            wav = resample(r.read_audio(max(s, 0.0), clip_duration), sr, 16000)
-            mels.append(np.asarray(waveform_to_mel(wav[0])))
-    return np.stack(videos), np.stack(mels)
+    spaced over the file (reference avgen/data/utils.py:271-330).
+
+    ONE clip-sampling protocol for generation and evaluation: delegates to
+    pipelines.generate.load_av_clips_uniformly (the reference likewise
+    keeps one function with a load_audio_as_melspectrogram flag) and mels
+    the padded (c, T) waveforms — pad-then-mean-centre, matching the
+    reference's load-then-waveform2melspec order."""
+    from ..pipelines.generate import (load_av_clips_uniformly
+                                      as _load_av_waves)
+    videos, waves = _load_av_waves(video_path, video_fps, video_num_frame,
+                                   image_size, num_clips)
+    mels = [np.asarray(waveform_to_mel(w)) for w in waves]
+    return videos, np.stack(mels)
 
 
 def evaluate_generation_results(
@@ -219,16 +211,23 @@ def evaluate_generation_results(
             result.update(AlignSync_mean=float(align.mean()),
                           AlignSync_std=float(align.std(ddof=1)))
 
-    if record_instance_metrics and models.avsync_score is not None:
+    # per-clip records whenever ANY per-clip metric exists — the reference
+    # records IA under eval_clipsim alone, independent of eval_relsync
+    # (avgen/evaluations/eval.py:252-271)
+    if record_instance_metrics and (models.avsync_score is not None
+                                    or gen_ia):
         inst = {}
+        ia_all = np.concatenate(gen_ia) if gen_ia else None
         i = 0
         for name in names:
             for _, path in clips_by_name[name]:
                 key = os.path.basename(path)
-                inst[key] = {"RelSync": float(rel[i])}
-                if gen_ia:
-                    inst[key]["IA"] = float(np.concatenate(gen_ia)[i])
-                if gen_pred_ia:
+                inst[key] = {}
+                if models.avsync_score is not None:
+                    inst[key]["RelSync"] = float(rel[i])
+                if ia_all is not None:
+                    inst[key]["IA"] = float(ia_all[i])
+                if models.avsync_score is not None and gen_pred_ia:
                     inst[key]["AlignSync"] = float(align[i])
                 i += 1
         result["instance_metrics"] = inst

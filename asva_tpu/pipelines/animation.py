@@ -46,6 +46,8 @@ class AnimationPipeline:
     mesh: Optional[object] = None  # jax.sharding.Mesh for multi-chip batches
     _null_audio: Optional[jnp.ndarray] = dataclasses.field(
         default=None, init=False, repr=False)
+    _programs: dict = dataclasses.field(
+        default_factory=dict, init=False, repr=False)
 
     def _batch_axes(self):
         return tuple(a for a in self.mesh.axis_names if a != "seq")
@@ -160,9 +162,15 @@ class AnimationPipeline:
 
     # ---------------- denoise program ----------------
 
-    @functools.lru_cache(maxsize=8)
     def _denoise_program(self, num_steps: int, sampler: str,
                          text_gs: float, audio_gs: float):
+        # per-INSTANCE program cache: an lru_cache on the method would key
+        # on self and pin dropped pipelines (multi-GB params captured by
+        # the program closures) in a class-level cache forever
+        key = (num_steps, sampler, text_gs, audio_gs)
+        cached = self._programs.get(key)
+        if cached is not None:
+            return cached
         plan = (plms_plan if sampler == "plms" else ddim_plan)(
             self.schedule, num_steps)
         rows = plan_row_arrays(plan)
@@ -219,14 +227,17 @@ class AnimationPipeline:
                 elif do_audio:
                     e_t, e_ta = jnp.split(eps, 2)
                     eps = e_t + audio_gs * (e_ta - e_t)
-                state = sampler_step(plan.kind, row, state, eps[:, sl],
-                                     step_slice=sl)
+                state = sampler_step(
+                    plan.kind, row, state, eps[:, sl], step_slice=sl,
+                    prediction_type=self.schedule.prediction_type)
                 return state, ()
 
             state, _ = jax.lax.scan(body, state, rows)
             return state.latents
 
-        return jax.jit(program)
+        compiled = jax.jit(program)
+        self._programs[key] = compiled
+        return compiled
 
     @functools.partial(jax.jit, static_argnums=0)
     def _decode_latents(self, vae_params, latents: jnp.ndarray):
@@ -286,9 +297,19 @@ class AnimationPipeline:
         # with no (n x 229) logits: each frame attends exactly its 25 tokens
         token_idx = jnp.asarray(segment_token_indices(
             video_length, self.audio_encoder.config.patch_grid))
-        null_text = (self.null_text_encoding
-                     if self.null_text_encoding is not None
-                     else jnp.zeros_like(text_encodings[:1]))
+        if self.null_text_encoding is not None:
+            null_text = self.null_text_encoding
+        else:
+            # the reference's uncond CFG branch uses the PRECOMPUTED
+            # empty-string CLIP encoding (openai-clip-l_null_text_encoding
+            # .pt); zeros is a stand-in for weightless test runs only
+            import warnings
+            warnings.warn(  # deduped per location by the default filter
+                "AnimationPipeline: null_text_encoding missing — the "
+                "uncond CFG branch uses a ZEROS text context instead of "
+                "the empty-string CLIP encoding; reference numerics will "
+                "differ")
+            null_text = jnp.zeros_like(text_encodings[:1])
 
         null_text, null_audio_ctx, token_idx = self._replicate(
             (null_text, null_audio_ctx, token_idx))

@@ -30,7 +30,11 @@ def load_image(path: str, image_size=(256, 256)) -> np.ndarray:
 
 def load_audio_clips_uniformly(path: str, clip_duration: float,
                                num_clips: int) -> list:
-    """List of (T,) float32 16 kHz waveforms from a wav/mp4."""
+    """List of (c, T) float32 16 kHz waveforms from a wav/mp4.
+
+    Channels are kept: the mel frontend mean-centres over ALL channels
+    before taking channel 0 (waveform2melspec semantics, ops/mel.py) —
+    pre-slicing stereo here would change the mel."""
     if path.endswith(".wav"):
         from scipy.io import wavfile
         sr, data = wavfile.read(path)
@@ -54,16 +58,16 @@ def load_audio_clips_uniformly(path: str, clip_duration: float,
     n = int(clip_duration * 16000)
     for s in starts:
         i0 = max(int(s * 16000), 0)
-        seg = wav16[0, i0:i0 + n]
-        if len(seg) < n:
-            seg = np.pad(seg, (0, n - len(seg)))
+        seg = wav16[:, i0:i0 + n]
+        if seg.shape[-1] < n:
+            seg = np.pad(seg, ((0, 0), (0, n - seg.shape[-1])))
         out.append(seg)
     return out
 
 
 def load_av_clips_uniformly(path: str, video_fps: int, video_num_frame: int,
                             image_size, num_clips: int):
-    """videos (k, f, h, w, 3) in [0,1] + waveforms list (k,) of (T,)."""
+    """videos (k, f, h, w, 3) in [0,1] + waveforms list (k,) of (c, T)."""
     clip_duration = video_num_frame / video_fps
     with MediaReader(path) as r:
         av_duration = min(r.video_duration, r.audio_duration)
@@ -81,10 +85,10 @@ def load_av_clips_uniformly(path: str, video_fps: int, video_num_frame: int,
                 frames.astype(np.float32) / 255.0, image_size,
                 normalize=False)))
             w = resample(r.read_audio(max(s, 0.0), clip_duration), sr,
-                         16000)[0]
-            if len(w) < n:
-                w = np.pad(w, (0, n - len(w)))
-            waves.append(w[:n])
+                         16000)
+            if w.shape[-1] < n:
+                w = np.pad(w, ((0, 0), (0, n - w.shape[-1])))
+            waves.append(w[:, :n])
     return np.stack(videos), waves
 
 
@@ -129,6 +133,15 @@ def generate_videos(
             audios = waves
 
     if category_text_encoding is None:
+        # the reference encodes the category (or empty) string with its
+        # CLIP text encoder here; a zeros context silently changes the
+        # conditioning, so shout — callers with a text encoder should
+        # encode and pass category_text_encoding explicitly
+        import logging
+        logging.getLogger(__name__).warning(
+            "generate_videos: no category_text_encoding given — using a "
+            "ZEROS text context (reference would CLIP-encode the category "
+            "string; outputs will differ from reference numerics)")
         text_enc = jnp.zeros((1, 77, 768))
     else:
         text_enc = jnp.asarray(category_text_encoding,
@@ -140,8 +153,9 @@ def generate_videos(
         if save_template:
             path = f"{save_template}_clip-{k:02d}.mp4"
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            a = np.asarray(audio)
             write_video(path, frames, video_fps,
-                        np.asarray(audio)[None], 16000)
+                        a if a.ndim == 2 else a[None], 16000)
             return None
         return (frames, audio)
 

@@ -148,11 +148,19 @@ def build_avsync_classifier(weights_dirs: Optional[dict] = None,
             if path and os.path.isfile(path):
                 for k, v in load_torch_state(path).items():
                     merged[f"{mod}.{k}"] = v
+            else:
+                log.warning(
+                    "avsync: no weights found for module %r under %s — "
+                    "that module keeps RANDOM init (scores meaningless "
+                    "for metrics)", mod, d)
         if merged:
             variables, report = convert_state_dict(variables, merged,
                                                    avsync_key_map)
             log.info("avsync: converted %d tensors (%d fresh)",
                      len(report["converted"]), len(report["fresh"]))
+        else:
+            log.warning("avsync: NO weights loaded from %s — classifier "
+                        "runs with fully random init", weights_dirs)
     return model, variables
 
 

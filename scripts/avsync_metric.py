@@ -60,7 +60,8 @@ def main():
         wav16 = load_audio_clips_uniformly(
             args.audio_path, args.video_num_frame / args.video_fps, 1)[0]
     else:
-        wav16 = resample(wav, sr, 16000)[0]
+        # keep (c, T): the mel mean-centres over all channels first
+        wav16 = resample(wav, sr, 16000)
     mel = np.asarray(waveform_to_mel(jnp.asarray(wav16)))[None]
     videos = video[None]
 

@@ -21,6 +21,26 @@ def test_mel_shape_and_padding():
     assert not np.allclose(np.asarray(mel[:, 197, 0]), pad_val)
 
 
+def test_mel_stereo_input_matches_reference_semantics():
+    """waveform2melspec subtracts the mean over ALL channels, then fbank
+    channel 0.  Because Kaldi fbank removes per-frame DC anyway, the mel
+    is invariant to any global offset — so a stereo clip's mel equals the
+    mono channel-0 mel exactly.  This pins BOTH facts: (c, T) inputs are
+    accepted with reference semantics, and the invariance that makes
+    channel pre-slicing numerically harmless."""
+    rng = np.random.default_rng(1)
+    ch0 = rng.standard_normal(32000).astype(np.float32)
+    ch1 = rng.standard_normal(32000).astype(np.float32) + 0.5
+    stereo = jnp.asarray(np.stack([ch0, ch1]))
+    mel_stereo = np.asarray(waveform_to_mel(stereo))
+    mel_ch0 = np.asarray(waveform_to_mel(jnp.asarray(ch0)))
+    np.testing.assert_allclose(mel_stereo, mel_ch0, atol=2e-4)
+    # global DC shifts are removed per frame by fbank
+    np.testing.assert_allclose(
+        np.asarray(waveform_to_mel(jnp.asarray(ch0 + 3.0))), mel_ch0,
+        atol=2e-4)
+
+
 def test_mel_center_crop_longer_clip():
     rng = np.random.default_rng(1)
     base = rng.standard_normal(48000).astype(np.float32)

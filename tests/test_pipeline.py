@@ -89,6 +89,29 @@ def test_pipeline_first_frame_latent_pinned(tiny_pipeline, rng):
                                np.asarray(img_lat), atol=1e-6)
 
 
+def test_pipeline_threads_prediction_type(tiny_pipeline, rng):
+    """A v_prediction schedule must reach sampler_step: the same model
+    output interpreted as v vs epsilon yields different latents (silently
+    sampling v as epsilon was a real bug)."""
+    import dataclasses
+
+    from asva_tpu.diffusion.schedules import DiffusionSchedule
+
+    vpipe = dataclasses.replace(
+        tiny_pipeline,
+        schedule=DiffusionSchedule(prediction_type="v_prediction"))
+    images = jnp.asarray(rng.random((1, 16, 16, 3)), dtype=jnp.float32)
+    mels = jnp.asarray(rng.standard_normal((1, 128, 204, 1)),
+                       dtype=jnp.float32)
+    text = jnp.asarray(rng.standard_normal((1, 7, 768)), dtype=jnp.float32)
+    kwargs = dict(video_length=4, num_inference_steps=2, sampler="ddim",
+                  rng=jax.random.PRNGKey(4), decode=False)
+    lat_v = vpipe(images, mels, text, **kwargs)
+    lat_e = tiny_pipeline(images, mels, text, **kwargs)
+    assert np.isfinite(np.asarray(lat_v)).all()
+    assert not np.allclose(np.asarray(lat_v), np.asarray(lat_e))
+
+
 def test_pipeline_seed_determinism(tiny_pipeline, rng):
     images = jnp.asarray(rng.random((1, 16, 16, 3)), dtype=jnp.float32)
     mels = jnp.asarray(rng.standard_normal((1, 128, 204, 1)),
