@@ -138,7 +138,11 @@ class AudioVideoDataset:
 
             wav = r.read_audio(start, self.clip_duration)
             sr = r.audio_sample_rate
-        wav = resample(wav, sr, CLIP_SAMPLE_RATE)[0]  # channel 0, 16 kHz
+        # channel 0 mono, 16 kHz: batch stacking needs a fixed channel
+        # count; numerically equal to the reference's all-channel
+        # mean-centre because Kaldi fbank removes per-frame DC anyway
+        # (pinned by tests/test_audio_frontend.py stereo test)
+        wav = resample(wav, sr, CLIP_SAMPLE_RATE)[0]
         target = int(self.clip_duration * CLIP_SAMPLE_RATE)
         if wav.shape[0] < target:
             wav = np.pad(wav, (0, target - wav.shape[0]))

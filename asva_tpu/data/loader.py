@@ -68,6 +68,12 @@ class DataLoader:
                 "%s; adopting the checkpoint seed to keep the consumed-"
                 "batch cursor meaningful", saved_seed, self.seed)
             self.seed = int(saved_seed)
+            # the dataset's per-item augmentation RNG is (seed, epoch,
+            # index)-derived; adopt there too or the resumed items would
+            # get different clip starts/flips than the order they were
+            # scheduled under
+            if hasattr(self.dataset, "seed"):
+                self.dataset.seed = int(saved_seed)
 
     def reset(self) -> None:
         """Forget epoch/cursor state: the next __iter__ starts at the top.
@@ -83,7 +89,15 @@ class DataLoader:
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(order)
         idx, n = self.shard
-        return order[idx::n] if n > 1 else order
+        if n > 1:
+            # equal per-host length (reference DistributedSampler
+            # semantics): without truncation, len(dataset) % n != 0 gives
+            # hosts UNEQUAL batch counts — collective train steps would
+            # silently pair batches from different epochs and an epoch-
+            # draining loop would deadlock in the collective
+            order = order[:(len(order) // n) * n]
+            return order[idx::n]
+        return order
 
     def __iter__(self) -> Iterator[dict]:
         order = self._indices()
@@ -129,7 +143,7 @@ class DataLoader:
             except Exception as e:  # surface worker errors to the consumer
                 put(e)
             finally:
-                put(None) if not stop.is_set() else None
+                put(None)  # no-op if the consumer already stopped
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

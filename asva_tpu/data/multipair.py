@@ -174,6 +174,8 @@ class MultiPairAVDataset:
             sr = r.audio_sample_rate
             wav = r.read_audio(span_start,
                                span_end - span_start + 1.0 / self.video_fps)
+        # channel 0 mono (fixed batch shapes; mel-equivalent to the
+        # reference's all-channel mean-centre — fbank removes per-frame DC)
         wav16 = resample(wav, sr, CLIP_SAMPLE_RATE)[0]
         target = int(self.clip_duration * CLIP_SAMPLE_RATE)
         clips = np.zeros((k, target), np.float32)

@@ -25,11 +25,15 @@ def maybe_initialize_distributed() -> bool:
                       "is_initialized", lambda: False)()
     if already:
         return True
-    cluster_env = any(k in os.environ for k in (
+    # An explicit coordinator address is a direct instruction to join a
+    # cluster — honor it even when TPU_WORKER_HOSTNAMES is absent or
+    # single-entry (e.g. multislice with one host per slice); requiring a
+    # comma there would silently run N identical single-host replicas.
+    explicit = any(k in os.environ for k in (
         "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-        "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"))
+        "MEGASCALE_COORDINATOR_ADDRESS"))
     multi_worker = os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0
-    if not (cluster_env and multi_worker):
+    if not (explicit or multi_worker):
         return False
     try:
         jax.distributed.initialize()

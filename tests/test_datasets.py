@@ -176,6 +176,29 @@ def test_loader_resume_continues_data_order(dataset_root):
     assert len(consumed) + len(resumed) == len(truth)
 
 
+def test_loader_shards_equal_batch_counts(dataset_root):
+    """len(dataset) % n_hosts != 0 must still give every host the SAME
+    number of batches (reference DistributedSampler truncates) — unequal
+    counts would pair collective steps across different epochs."""
+    from asva_tpu.data.datasets import AudioVideoDataset
+    from asva_tpu.data.loader import DataLoader
+    root, lst, enc, mapping = dataset_root
+    ds = AudioVideoDataset(lst, str(root), mode="test", img_size=32, seed=0)
+    assert len(ds) >= 3
+    n = 2
+    counts, seen = [], []
+    for host in range(n):
+        dl = DataLoader(ds, batch_size=1, shuffle=True, num_workers=1,
+                        drop_last=True, seed=5, shard=(host, n))
+        seen.append(list(dl._indices()))
+        batches = list(dl)
+        assert len(batches) == len(dl)
+        counts.append(len(batches))
+    assert counts[0] == counts[1] == len(ds) // n
+    assert not set(seen[0]) & set(seen[1])  # disjoint shards
+    assert len(seen[0]) == len(seen[1])
+
+
 def test_loader_reset_gives_stateless_eval_passes(dataset_root):
     """In-train eval breaks out early; reset() must make every pass see
     the SAME window from the top (without it, the persistent resume
@@ -218,8 +241,10 @@ def test_loader_resume_adopts_checkpoint_seed(dataset_root):
     root, lst, enc, mapping = dataset_root
 
     def make(seed):
+        # cfg.seed feeds BOTH the dataset's per-item augmentation RNG and
+        # the loader's shuffle order (as the train scripts do)
         ds = AudioVideoDataset(lst, str(root), mode="train", img_size=32,
-                               randflip=True, seed=7)
+                               randflip=True, seed=seed)
         return DataLoader(ds, batch_size=1, shuffle=True, num_workers=2,
                           drop_last=True, seed=seed)
 
@@ -231,7 +256,7 @@ def test_loader_resume_adopts_checkpoint_seed(dataset_root):
 
     run2 = make(8)  # operator changed the config seed before resuming
     run2.load_state_dict(saved)
-    assert run2.seed == 7
+    assert run2.seed == 7 and run2.dataset.seed == 7
     resumed = list(run2)
     truth = list(make(7))
     for ba, bb in zip(consumed + resumed, truth):

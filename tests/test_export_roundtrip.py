@@ -23,6 +23,15 @@ def test_unet_export_import_roundtrip(rng):
 
     state = export_state_dict(params, unet_key_map)
     assert all(isinstance(v, np.ndarray) for v in state.values())
+    # SD1.5/diffusers expects Conv2d-1x1 rank for the transformer in/out
+    # projections (use_linear_projection=False); GEGLU stays Linear
+    proj_keys = [k for k in state
+                 if k.endswith(("proj_in.weight", "proj_out.weight"))
+                 and "ff.net" not in k]
+    assert proj_keys and all(state[k].ndim == 4 and state[k].shape[2:] ==
+                             (1, 1) for k in proj_keys)
+    assert all(state[k].ndim == 2 for k in state
+               if k.endswith("ff.net.0.proj.weight"))
     fresh = jax.tree.map(jnp.zeros_like, params)
     restored, report = convert_state_dict(fresh, state, unet_key_map)
     assert not report["fresh"] and not report["unused"]
