@@ -13,8 +13,9 @@ public ImageBind audio tower:
     pre_transformer_ln=False), NO pre/final norm — token encodings are
     returned un-normalized.
   head: LayerNorm -> CLS select -> Linear(768 -> 1024, no bias).
-  postprocessor: L2-normalize then divide by logit_scale=20 (only for
-    normalized cls embeddings).
+  postprocessor: L2-normalize then MULTIPLY by logit_scale=20
+    (LearnableLogitScaling; consumers divide by 20 to recover unit
+    vectors — only for normalized cls embeddings).
 
 ASVA additions: a trainable `final_layer_norm` applied to the trunk tokens
 (reference :60,:101) and per-frame audio segment masks: the 19 time-patch

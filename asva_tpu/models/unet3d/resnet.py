@@ -56,7 +56,8 @@ class FFResnetBlock(nn.Module):
                 h = h + t
 
         h = VideoGroupNorm(self.groups, self.eps, name="norm2")(h)
-        if temb is not None and self.time_embedding_norm == "scale_shift":
+        if (temb is not None and self.temb_channels is not None
+                and self.time_embedding_norm == "scale_shift"):
             scale, shift = jnp.split(t, 2, axis=-1)
             h = h * (1 + scale) + shift
         h = nn.silu(h)

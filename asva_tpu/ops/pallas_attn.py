@@ -48,6 +48,8 @@ def _attention_flat(q, k, v, block_q: int = 512, kv_len=None):
     bh, sq, d = q.shape
     sk = k.shape[1]
     block_q = min(block_q, sq)
+    if sq % block_q != 0:  # remainder rows would never be written
+        raise ValueError(f"sq={sq} not a multiple of block_q={block_q}")
     scale = 1.0 / (d ** 0.5)
     grid = (bh, sq // block_q)
     return pl.pallas_call(
@@ -131,9 +133,15 @@ def supports(sq: int, sk: int, d: int, dtype) -> bool:
     VMEM, and the shapes should be big enough that logits traffic matters."""
     if sk % 128 != 0 or sq % 128 != 0:
         return False
+    # _attention_flat's grid is sq // block_q with block_q = min(512, sq):
+    # a non-multiple would leave the remainder query rows UNWRITTEN
+    # (uninitialized VMEM in the output)
+    if sq % min(512, sq) != 0:
+        return False
     if sq < 1024 or sk < 256:
         # XLA handles small/short-KV shapes fine (measured: the padded-KV
         # kernel on 77 text tokens was ~2% slower end-to-end)
         return False
-    vmem = sk * d * 2 * 2 + 512 * sk * 4 + 512 * d * 4
+    itm = 2 if dtype == jnp.bfloat16 else 4
+    vmem = sk * d * itm * 2 + 512 * sk * 4 + 512 * d * 4
     return vmem < 12 * 1024 * 1024

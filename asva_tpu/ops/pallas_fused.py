@@ -306,23 +306,14 @@ def _ln_attn_flat(x, ls, lb, wq, wo, bo, k, v, eps, num_heads, kv_len,
 
 def _ln_attn_reference(x, ls, lb, wq, wo, bo, k, v, eps, num_heads, kv_len):
     g_, m, c = x.shape
-    sk = k.shape[1]
-    dp = wq.shape[1] // num_heads
-    d = c // num_heads
+    d = c // num_heads  # softmax scale uses the LOGICAL head dim, not dp
     xn = _ln_rows(x.astype(_F32), ls.astype(_F32).reshape(1, 1, -1),
                   lb.astype(_F32).reshape(1, 1, -1), eps).astype(x.dtype)
-    q = (xn @ wq.astype(x.dtype)).reshape(g_, m, num_heads, dp)
-    kh = k.reshape(g_, sk, num_heads, dp)
-    vh = v.reshape(g_, sk, num_heads, dp)
-    s = jnp.einsum("gmhd,gkhd->ghmk", q, kh,
-                   preferred_element_type=_F32) / (d ** 0.5)
-    if kv_len is not None and kv_len < sk:
-        cols = jnp.arange(sk)
-        s = jnp.where(cols[None, None, None, :] < kv_len, s, -1e9)
-    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
-    o = jnp.einsum("ghmk,gkhd->gmhd", p, vh,
-                   preferred_element_type=_F32).astype(x.dtype)
-    o = o.reshape(g_, m, num_heads * dp)
+    q = xn @ wq.astype(x.dtype)
+    # one attention-math implementation: _mha_einsum also backs the
+    # mha_kvshared kernel tests — keeping a second copy here invited
+    # silent numeric divergence between the two fallback paths
+    o = _mha_einsum(q, k, v, num_heads, kv_len, 1.0 / (d ** 0.5))
     y = jax.lax.dot_general(o, wo.astype(x.dtype), (((2,), (0,)), ((), ())),
                             preferred_element_type=_F32)
     return x + (y + bo.astype(_F32).reshape(1, 1, -1)).astype(x.dtype)
