@@ -189,6 +189,14 @@ def init_avsync_from_avid_cma(variables, path: str,
 
 
 def load_null_text_encoding(path: Optional[str]):
+    if path and not os.path.isfile(path):
+        # tools/make_null_text_encoding.py writes .npy while the reference
+        # artifact is .pt — accept either spelling of the same path
+        for alt in (path[:-3] + ".npy" if path.endswith(".pt") else None,
+                    path[:-4] + ".pt" if path.endswith(".npy") else None):
+            if alt and os.path.isfile(alt):
+                path = alt
+                break
     if path and os.path.isfile(path):
         if path.endswith(".npy"):
             return jnp.asarray(np.load(path)).reshape(1, 77, 768)

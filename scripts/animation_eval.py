@@ -231,7 +231,9 @@ def main():
         args.exp_root, "evaluations", f"checkpoint-{args.checkpoint}",
         f"AG-{args.audio_guidance_scale}_TG-{args.text_guidance_scale}",
         f"seed-{args.random_seed}", "videos")
-    result_path = gen_root.replace("/videos", "/result.json")
+    # NOT str.replace("/videos", ...): exp_root/dataset paths containing
+    # "/videos" elsewhere would be mangled
+    result_path = os.path.join(os.path.dirname(gen_root), "result.json")
 
     models = build_eval_models(args)
 

@@ -75,6 +75,9 @@ def main():
                    help="compile the default-shape program before serving "
                         "(synthetic inputs; first request is then fast)")
     p.add_argument("--warmup_steps", type=int, default=50)
+    p.add_argument("--warmup_clips", type=int, default=3,
+                   help="batch size to pre-compile (= the num_clips a "
+                        "default request stacks into one call)")
     p.add_argument("--max_requests", type=int, default=0,
                    help="exit after N requests (0 = serve forever); for "
                         "smoke tests")
@@ -102,12 +105,20 @@ def main():
     if args.warmup:
         t0 = time.time()
         h, w = args.image_size
-        img = jnp.zeros((1, h, w, 3), jnp.float32)
-        mel = jnp.zeros((1, 128, 204, 1), jnp.float32)
-        txt = jnp.zeros((1, 77, 768), jnp.float32)
+        # compile the EXACT program a default request runs: generate_videos
+        # stacks num_clips clips into one batched call (jit specializes on
+        # the batch shape, and the denoise program is cached per
+        # steps/sampler/guidance) — a batch-1 warmup would leave the first
+        # real request paying the full compile while /healthz said warm
+        b = args.warmup_clips
+        img = jnp.zeros((b, h, w, 3), jnp.float32)
+        mel = jnp.zeros((b, 128, 204, 1), jnp.float32)
+        txt = jnp.zeros((b, 77, 768), jnp.float32)
         out = pipeline(img, mel, txt, video_length=n_segment,
                        num_inference_steps=args.warmup_steps,
-                       rng=jax.random.PRNGKey(0))
+                       audio_guidance_scale=4.0, text_guidance_scale=1.0,
+                       sampler="plms", rng=jax.random.PRNGKey(0),
+                       broadcast_rng=True)
         jax.block_until_ready(out)
         state["warm"] = True
         print(f"[serve] warmup compile {time.time() - t0:.1f}s", flush=True)

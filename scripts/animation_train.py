@@ -157,6 +157,8 @@ def main():
     bshard = batch_sharding(mesh)
     step = int(state.step)
     acc_grads, acc_count = None, 0
+    prof = None
+    pending = []  # device loss scalars, materialized at log boundaries
 
     if len(loader) == 0:
         raise ValueError("dataset smaller than the global batch "
@@ -174,7 +176,9 @@ def main():
                      "text_encodings": batch["text_encoding"]}, bshard)
                 if accum <= 1:
                     state, loss = train_step(state, dev_batch, sub)
-                    step = int(state.step)
+                    step += 1  # host-side: int(state.step) would force a
+                    #            device sync every step (~54 ms RPC on the
+                    #            axon tunnel — 13% of a 417 ms step)
                 else:
                     loss, grads = grad_step(state.params, dev_batch, sub)
                     acc_grads = grads if acc_grads is None else \
@@ -183,16 +187,22 @@ def main():
                     if acc_count == accum:
                         state = apply_step(state, div_grads(acc_grads))
                         acc_grads, acc_count = None, 0
-                        step = int(state.step)
+                        step += 1
                     else:
                         continue
 
                 # loss is computed over the GLOBAL sharded batch inside the
-                # jit program, so this scalar already is the cross-rank mean
-                # (reference gathers explicitly, animation_train.py:318)
-                meter.update(float(loss))
+                # jit program, so the scalar already is the cross-rank mean
+                # (reference gathers explicitly, animation_train.py:318).
+                # Keep it on-device until the log boundary: materializing
+                # per step would serialize dispatch (a float() still runs
+                # every log_steps, so silent device errors surface there)
+                pending.append(loss)
                 timer.tick()
                 if step % cfg.log_steps == 0:
+                    for dev_loss in pending:
+                        meter.update(float(dev_loss))
+                    pending.clear()
                     log.info("step %d loss %.4f %.2f steps/s", step,
                              meter.avg, timer.steps_per_sec)
                     metrics.log(step, loss=meter.avg,
@@ -200,8 +210,11 @@ def main():
                 if args.profile_dir and step == 10:
                     prof = profile_steps(args.profile_dir)
                     prof.__enter__()
-                if args.profile_dir and step == 15:
+                if args.profile_dir and step == 15 and prof is not None:
+                    # prof is None when resuming from a step-10..14
+                    # checkpoint (the step==10 branch never ran)
                     prof.__exit__(None, None, None)
+                    prof = None
                 if ckpt.should_save(step):
                     # async: snapshots device arrays and returns; the write
                     # overlaps subsequent train steps
@@ -212,7 +225,11 @@ def main():
                     log.info("saving checkpoint-%d (async)", step)
                 if shutdown.requested:
                     log.info("shutdown requested: checkpointing at %d", step)
+                    # include module exports: without them the latest
+                    # checkpoint can't be consumed by the gen/eval CLIs
                     ckpt.save(step, state, force=True,
+                              modules={"unet": state.params,
+                                       "audio_encoder": audio_params},
                               extra={"loader": loader.state_dict()})
                     ckpt.close()   # block until durable before exiting
                     return

@@ -106,9 +106,14 @@ def main():
         train_loader.load_state_dict(resumed_extra["loader"])
         log.info("data order resumed at epoch %d batch %d",
                  train_loader.epoch, train_loader._cursor)
+    # sharded like the train loader: evaluate() gathers batch-weighted
+    # sums across ranks, so each rank must see a DISTINCT test window
+    # (unsharded, the cross-rank mean would just average duplicates)
     test_loader = DataLoader(make_ds(cfg.test_dataset, "test"),
                              cfg.test_batch_size, shuffle=False,
-                             num_workers=8, drop_last=False)
+                             num_workers=8, drop_last=False,
+                             shard=(jax.process_index(),
+                                    jax.process_count()))
 
     step_fn = trainer.make_train_step(tx)
     bshard = batch_sharding(mesh)
@@ -156,8 +161,12 @@ def main():
                     log.info("saving checkpoint-%d (async)", step)
                 if shutdown.requested:
                     log.info("shutdown requested: checkpointing at %d", step)
-                    ckpt.save(step, state, force=True,
-                              extra={"loader": train_loader.state_dict()})
+                    # module exports included so the gen/eval CLIs can
+                    # consume the latest checkpoint after a preemption
+                    ckpt.save(step, state, force=True, modules={
+                        "classifier": {"params": state.params,
+                                       "batch_stats": state.batch_stats}},
+                        extra={"loader": train_loader.state_dict()})
                     ckpt.close()
                     return
     ckpt.save(step, state, force=True, modules={

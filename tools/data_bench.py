@@ -71,6 +71,11 @@ def synth_videos(root: str, n: int, seconds: float = 8.0, fps: float = 12.0,
 
 def bench_loader(loader, n_items_per_batch: int, demand: float, label: str,
                  workers: int) -> dict:
+    if len(loader) < 2:
+        out = {"error": f"{label}: need >= 2 batches to bench "
+                        f"(have {len(loader)}; raise --items)"}
+        print(json.dumps(out))
+        return out
     # warm one batch (thread pool spin-up, first-open container probing)
     it = iter(loader)
     next(it)

@@ -71,7 +71,7 @@ def _train_step(B, F, DT):
                                    build_optimizer, trainable_mask)
     from __graft_entry__ import _materialize
 
-    policy = "highres"
+    policy = "saveconv"  # match bench.py --train (the shipped step)
     for pol in ("dots", "highres", "full", "l0", "saveconv"):
         if f"--remat_{pol}" in sys.argv:
             policy = pol

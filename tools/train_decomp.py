@@ -36,8 +36,8 @@ def main():
     global N
     if "--n" in sys.argv:
         N = int(sys.argv[sys.argv.index("--n") + 1])
-    policy = "highres"
-    for p in ("dots", "highres", "full", "l0"):
+    policy = "saveconv"  # the shipped bench.py --train default
+    for p in ("dots", "highres", "full", "l0", "saveconv"):
         if f"--remat_{p}" in sys.argv:
             policy = p
 
