@@ -20,14 +20,19 @@ from .diffusion.schedules import DiffusionSchedule
 from .models.unet3d.model import UNet3DConfig
 
 
-def _take(d: dict, cls, **renames):
+def _take(d: dict, cls, _ignore=(), **renames):
     """Build dataclass `cls` from dict `d`, applying field renames and
-    warning about unknown keys."""
+    warning about unknown keys (`_ignore` lists keys that are known
+    reference-only knobs we deliberately don't consume)."""
     fields = {f.name: f for f in dataclasses.fields(cls)}
     kwargs = {}
     for k, v in d.items():
         k = renames.get(k, k)
         if k not in fields:
+            if k not in _ignore:
+                warnings.warn(
+                    f"config: unknown key {k!r} for {cls.__name__} ignored "
+                    "(typo, or a reference knob this build doesn't consume)")
             continue
         # YAML 1.1 parses "2e-4" (no dot) as a string — coerce by field type
         ftype = fields[k].type
@@ -103,7 +108,13 @@ class AnimationJobConfig:
         train = raw.get("train", {})
         optim_d = raw.get("optim", {})
 
-        sched = _take(model.get("scheduler", {}), DiffusionSchedule)
+        # _ignore: DDPMScheduler knobs at their no-op values in every
+        # reference YAML (clip_sample/thresholding False, trained_betas
+        # null); our DDIM/PLMS plans have no use for them
+        sched = _take(model.get("scheduler", {}), DiffusionSchedule,
+                      _ignore=("name", "trained_betas", "clip_sample",
+                               "thresholding", "dynamic_thresholding_ratio",
+                               "sample_max_value"))
         unet_d = dict(model.get("unet", {}))
         unet_kwargs = {}
         for key in ("down_block_types", "up_block_types", "mid_block_type",
@@ -117,11 +128,13 @@ class AnimationJobConfig:
                                                 False))
         unet_kwargs["remat_policy"] = optim_d.get(
             "gradient_checkpoint_policy", "highres")
-        ds = _take(train.get("dataset", {}), DatasetConfig)
+        ds = _take(train.get("dataset", {}), DatasetConfig,
+                   _ignore=("randcrop",))  # reference default False
         if isinstance(ds.img_size, list):
             object.__setattr__(ds, "img_size", tuple(ds.img_size))
         optim = _take(optim_d, OptimConfig,
-                      checkpointing_milestones="checkpointing_milestones")
+                      _ignore=("use_8bit_adam", "scale_lr"))  # both off in
+        #             every reference YAML; no 8-bit Adam / lr scaling here
 
         return cls(
             output_dir=exp.get("output_dir", "exps/run"),
@@ -189,10 +202,10 @@ class SyncJobConfig:
         test = raw.get("test", {})
 
         def fix(dcfg):
-            d = dict(dcfg)
-            if d.get("sampling_type") == "random-compact":
-                pass
-            return _take(d, SyncDatasetConfig)
+            # audio_sample_rate: the 16 kHz pipeline constant
+            # (CLIP_SAMPLE_RATE); every reference YAML sets 16000
+            return _take(dcfg, SyncDatasetConfig,
+                         _ignore=("audio_sample_rate",))
 
         return cls(
             output_dir=exp.get("output_dir", "exps/avsync"),
@@ -210,5 +223,11 @@ class SyncJobConfig:
             test_dataset=fix(test.get("dataset", {})),
             test_batch_size=test.get("batch_size", 8),
             test_steps=test.get("test_steps", 2500),
-            optim=_take(raw.get("optim", {}), OptimConfig),
+            # start from the SYNC defaults (350k steps, lr 2e-4) so a
+            # missing/partial optim block doesn't fall back to the
+            # animation defaults (600k, 1e-4)
+            optim=_take({**dataclasses.asdict(
+                             cls.__dataclass_fields__["optim"].default),
+                         **raw.get("optim", {})}, OptimConfig,
+                        _ignore=("use_8bit_adam", "scale_lr")),
         )

@@ -57,6 +57,17 @@ class DiffusionSchedule:
 
     def leading_timesteps(self, num_inference_steps: int) -> np.ndarray:
         """Ascending sampled train timesteps, diffusers 'leading' spacing."""
+        if not 1 <= num_inference_steps <= self.num_train_timesteps:
+            raise ValueError(
+                f"num_inference_steps={num_inference_steps} must be in "
+                f"[1, {self.num_train_timesteps}]")
         ratio = self.num_train_timesteps // num_inference_steps
-        return ((np.arange(num_inference_steps) * ratio).round()
-                .astype(np.int64) + self.steps_offset)
+        ts = ((np.arange(num_inference_steps) * ratio).round()
+              .astype(np.int64) + self.steps_offset)
+        if ts[-1] >= self.num_train_timesteps:
+            # steps_offset can push the last timestep past the table end
+            # (e.g. 1000 steps + offset 1): out of range for alphas_cumprod
+            raise ValueError(
+                f"last timestep {ts[-1]} >= num_train_timesteps "
+                f"{self.num_train_timesteps}; lower num_inference_steps")
+        return ts

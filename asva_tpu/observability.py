@@ -26,8 +26,18 @@ class MetricsLogger:
 
     def __init__(self, path: str, log_with: Optional[str] = None,
                  run_name: Optional[str] = None, config: Optional[dict] = None):
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        self._f = open(path, "a", buffering=1)
+        # main-process-only sink: on multi-host runs the logged loss is the
+        # cross-rank mean already, and N ranks appending the same record to
+        # a shared metrics.jsonl would duplicate (and on NFS interleave)
+        self._f = None
+        try:
+            import jax
+            main = jax.process_index() == 0
+        except Exception:
+            main = True
+        if main:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._f = open(path, "a", buffering=1)
         self._wandb = None
         if log_with == "wandb":
             try:
@@ -43,6 +53,8 @@ class MetricsLogger:
                     "wandb logging disabled (%s); JSONL only", e)
 
     def log(self, step: int, **metrics):
+        if self._f is None:
+            return
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: (float(v) if hasattr(v, "__float__") else v)
                     for k, v in metrics.items()})
@@ -52,7 +64,8 @@ class MetricsLogger:
                              if k not in ("step", "time")}, step=int(step))
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._wandb is not None:
             self._wandb.finish()
 
@@ -75,7 +88,17 @@ def profile_steps(logdir: Optional[str]):
 
 class GracefulShutdown:
     """Set .requested when SIGTERM/SIGINT arrives; the train loop checks it
-    each step and checkpoints before exiting."""
+    each step and checkpoints before exiting.
+
+    The FIRST signal flips the flag and restores the previous handlers, so
+    a second Ctrl-C force-quits instead of being swallowed while the final
+    (possibly slow) checkpoint write runs.
+
+    Multi-host: a signal lands on one rank; the forced checkpoint is a
+    COLLECTIVE orbax save, so ranks must agree on whether/when to do it —
+    check `requested_global()` (an allgather-OR) instead of `.requested`
+    in multi-process loops, or some ranks keep training while others save
+    and the fleet deadlocks in the collective."""
 
     def __init__(self):
         self.requested = False
@@ -88,6 +111,39 @@ class GracefulShutdown:
 
     def _handler(self, signum, frame):
         self.requested = True
+        self.restore()  # second signal terminates normally
+
+    def poll(self, sync_point: bool = True) -> bool:
+        """Checkpoint-worthy shutdown check for train loops.
+
+        Single-process: the local flag, checked every call.  Multi-process:
+        the collective agreement runs only when `sync_point` is True — pass
+        a condition that evaluates IDENTICALLY on every rank (e.g.
+        step % log_steps == 0), because all ranks must enter the allgather
+        together.  Polling at log cadence bounds lost work to log_steps
+        steps while keeping the per-step dispatch pipeline collective-free."""
+        import jax
+        if jax.process_count() == 1:
+            return self.requested
+        if not sync_point:
+            return False
+        return self.requested_global()
+
+    def requested_global(self) -> bool:
+        """Cross-rank agreement: True iff ANY process got the signal.
+        Single-process this is just .requested (no collective)."""
+        import jax
+        if jax.process_count() == 1:
+            return self.requested
+        import numpy as np
+
+        from .parallel.multihost import process_allgather
+        flags = process_allgather(
+            np.array([1.0 if self.requested else 0.0]))
+        got = bool(np.asarray(flags).sum() > 0)
+        if got:
+            self.requested = True
+        return got
 
     def restore(self):
         for sig, prev in self._prev.items():

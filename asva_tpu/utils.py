@@ -68,12 +68,20 @@ def setup_logging(log_file: Optional[str] = None,
                   name: str = "asva_tpu") -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
-    if not logger.handlers:
-        fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    if not any(type(h) is logging.StreamHandler for h in logger.handlers):
         sh = logging.StreamHandler()
         sh.setFormatter(fmt)
         logger.addHandler(sh)
-        if log_file:
+    if log_file:
+        # attach the file sink even when a previous setup_logging call
+        # already configured the stream handler (a second job in the same
+        # process would otherwise silently log to the FIRST job's file)
+        path = os.path.abspath(log_file)
+        have = any(isinstance(h, logging.FileHandler)
+                   and getattr(h, "baseFilename", None) == path
+                   for h in logger.handlers)
+        if not have:
             os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
             fh = logging.FileHandler(log_file)
             fh.setFormatter(fmt)

@@ -77,7 +77,11 @@ def main():
         config=AnimationTrainConfig(
             text_cond_drop_prob=cfg.text_cond_drop_prob,
             audio_cond_drop_prob=cfg.audio_cond_drop_prob,
-            loss_on_first_frame=cfg.loss_on_first_frame))
+            loss_on_first_frame=cfg.loss_on_first_frame,
+            # MUST follow the schedule: training against epsilon while the
+            # sampler interprets outputs as v (or vice versa) silently
+            # produces garbage generations
+            prediction_type=cfg.schedule.prediction_type))
 
     # partial-training flow: differentiate ONLY the trainable subtree so
     # XLA emits no frozen-conv wgrads and no params-sized grad buffer (the
@@ -223,7 +227,7 @@ def main():
                                        "audio_encoder": audio_params},
                               extra={"loader": loader.state_dict()})
                     log.info("saving checkpoint-%d (async)", step)
-                if shutdown.requested:
+                if shutdown.poll(step % cfg.log_steps == 0):
                     log.info("shutdown requested: checkpointing at %d", step)
                     # include module exports: without them the latest
                     # checkpoint can't be consumed by the gen/eval CLIs

@@ -159,7 +159,7 @@ def main():
                                        "batch_stats": state.batch_stats}},
                         extra={"loader": train_loader.state_dict()})
                     log.info("saving checkpoint-%d (async)", step)
-                if shutdown.requested:
+                if shutdown.poll(step % cfg.log_steps == 0):
                     log.info("shutdown requested: checkpointing at %d", step)
                     # module exports included so the gen/eval CLIs can
                     # consume the latest checkpoint after a preemption
