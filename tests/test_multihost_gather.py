@@ -126,3 +126,51 @@ def test_two_process_global_batch_loss_is_cross_rank_mean(tmp_path):
     # global rows: [0..n) and [100..100+n) -> both ranks log the same mean
     expected = np.mean([np.arange(float(n)), np.arange(float(n)) + 100.0])
     assert losses[0] == losses[1] == pytest.approx(float(expected))
+
+
+SHUTDOWN_WORKER = r"""
+import os, sys, json
+import numpy as np
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=sys.argv[1],
+                           num_processes=2, process_id=int(sys.argv[2]))
+from asva_tpu.observability import GracefulShutdown
+pid = jax.process_index()
+sd = GracefulShutdown()
+if pid == 1:
+    sd.requested = True  # the signal landed on ONE rank only
+# off the sync point, poll never enters a collective: every rank (even
+# the signaled one) keeps stepping until the agreed cadence point
+assert sd.poll(sync_point=False) is False
+# at the agreed sync point, BOTH ranks must see the shutdown
+agreed = sd.poll(sync_point=True)
+print("RESULT", json.dumps({"pid": pid, "agreed": bool(agreed)}))
+"""
+
+
+def test_two_process_shutdown_agreement(tmp_path):
+    """A preemption signal lands on one rank; GracefulShutdown.poll at a
+    sync point must make EVERY rank agree to checkpoint (the forced orbax
+    save is collective — disagreement deadlocks the fleet)."""
+    port = _free_port()
+    addr = f"localhost:{port}"
+    script = tmp_path / "shutdown_worker.py"
+    script.write_text(SHUTDOWN_WORKER)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), addr, str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    import json
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            pytest.fail("distributed worker timed out")
+        assert p.returncode == 0, err[-2000:]
+        line = next(l for l in out.splitlines() if l.startswith("RESULT"))
+        assert json.loads(line[len("RESULT "):])["agreed"] is True
