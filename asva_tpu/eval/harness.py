@@ -42,6 +42,9 @@ class EvalModels:
     ia_sim: Optional[Callable] = None         # (n,224,224,3)clip,(n,mel)->(n,)
     it_sim: Optional[Callable] = None         # (n,224,224,3)clip,(n,77)ids->(n,)
     random_nets: List[str] = dataclasses.field(default_factory=list)
+    # extra provenance entries recorded verbatim into the result JSON
+    # (e.g. I3D_BN_EPS and how it was chosen)
+    provenance: dict = dataclasses.field(default_factory=dict)
 
 
 def generated_clip_paths(root: str, stem: str) -> List[Tuple[int, str]]:
@@ -117,6 +120,10 @@ def evaluate_generation_results(
               "num_clips_per_video": num_clips_per_video}
     if models.random_nets:
         result["RANDOM_WEIGHT_NETS"] = list(models.random_nets)
+    # provenance of the mel every audio-consuming metric saw (VERDICT r3 #8)
+    from ..ops.mel import goldens_status
+    result["MEL_PROVENANCE"] = goldens_status()
+    result.update(models.provenance)
 
     gt_fid, gen_fid, gt_fvd, gen_fvd = [], [], [], []
     gen_pred_ia, gen_sync, gen_ia, gen_it = [], [], [], []

@@ -129,3 +129,60 @@ def waveform_to_mel(
         mel = mel[:, :target_length]
     mel = (mel - mean) / std
     return mel[..., None]  # (n_mels, T, 1)
+
+
+# ---------------------------------------------------------------------------
+# Provenance: our fbank is spec-implemented from the Kaldi/torchaudio
+# parameters above, but torchaudio itself is absent from the build sandbox,
+# so bit-parity is proven only where the recorded goldens fixture exists
+# (tools/make_mel_goldens.py).  Downstream metric JSONs carry this label so
+# FID/IA/etc numbers state the provenance of the mel they consumed.
+
+def golden_waveforms():
+    """Deterministic golden test signals (shared by the goldens tool, the
+    goldens test, and the runtime provenance check)."""
+    rng = np.random.default_rng(1234)
+    sr, n = 16000, 32000
+    t = np.arange(n) / sr
+    return sr, {
+        "noise": (rng.standard_normal(n) * 0.1).astype(np.float32),
+        "tones": (0.5 * np.sin(2 * np.pi * 440 * t)
+                  + 0.2 * np.sin(2 * np.pi * 3210 * t)).astype(np.float32),
+        "chirp": np.sin(2 * np.pi * (200 * t + 1900 * t * t)).astype(
+            np.float32),
+        "walk": np.clip(rng.standard_normal(n).cumsum() * 1e-3,
+                        -1, 1).astype(np.float32),
+    }
+
+
+def goldens_fixture_path() -> str:
+    import os
+    env = os.environ.get("ASVA_MEL_GOLDENS")
+    if env:
+        return env
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.normpath(os.path.join(here, "..", "..", "tests",
+                                         "fixtures", "mel_goldens.npz"))
+
+
+@functools.lru_cache(maxsize=1)
+def goldens_status() -> str:
+    """'verified' iff fbank matches the recorded torchaudio goldens here,
+    'MISMATCH ...' if the fixture disagrees, else 'unverified (...)'."""
+    import os
+    path = goldens_fixture_path()
+    if not os.path.isfile(path):
+        return ("unverified (torchaudio goldens fixture absent; run "
+                "tools/make_mel_goldens.py where torchaudio exists)")
+    goldens = np.load(path)
+    sr, waves = golden_waveforms()
+    worst = 0.0
+    for name, wave in waves.items():
+        if name not in goldens:
+            return f"MISMATCH (fixture missing key {name})"
+        got = np.asarray(fbank(wave, sample_rate=sr))
+        if got.shape != goldens[name].shape:
+            return f"MISMATCH (shape {got.shape} vs {goldens[name].shape})"
+        worst = max(worst, float(np.abs(got - goldens[name]).max()))
+    return ("verified vs torchaudio goldens" if worst < 1e-4
+            else f"MISMATCH vs torchaudio goldens (max abs diff {worst:g})")

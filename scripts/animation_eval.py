@@ -96,20 +96,39 @@ def build_eval_models(args):
             jax.jit(lambda p, x: fid_net.apply(p, jnp.asarray(x))), fid_vars)
 
     if args.eval_fvd:
-        i3d_net = InceptionI3D(bn_eps=args.i3d_bn_eps)
-        i3d_vars = jax.jit(lambda: i3d_net.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 12, 224, 224, 3))))()
         i3d_path = _find_file(os.path.join(root, "i3d_state.pt"))
+        detected_eps = None
         if i3d_path is None:
             blob = _find_file(os.path.join(root, "i3d_torchscript.pt"))
             if blob is not None:  # extract the torchscript blob's state dict
+                import json
                 import torch
-                state = {k: v.float()
-                         for k, v in torch.jit.load(
-                             blob, map_location="cpu").state_dict().items()}
+                from asva_tpu.convert.torchscript import extract_state_and_eps
+                state, detected_eps = extract_state_and_eps(blob)
                 i3d_path = os.path.join(root, "i3d_state.pt")
                 torch.save(state, i3d_path)
-                print(f"fvd_i3d: extracted {len(state)} tensors from {blob}")
+                with open(i3d_path + ".eps.json", "w") as f:
+                    json.dump({"bn_eps": detected_eps,
+                               "source_blob": blob}, f)
+                print(f"fvd_i3d: extracted {len(state)} tensors from {blob}"
+                      f" (detected bn_eps={detected_eps})")
+        elif os.path.isfile(i3d_path + ".eps.json"):
+            import json
+            with open(i3d_path + ".eps.json") as f:
+                detected_eps = json.load(f).get("bn_eps")
+        # eps resolution: explicit flag > value read out of the blob itself
+        # > the reference pytorch_i3d source default 1e-5 (VERDICT r3 #7)
+        if args.i3d_bn_eps is not None:
+            i3d_eps, eps_src = args.i3d_bn_eps, "flag"
+        elif detected_eps is not None:
+            i3d_eps, eps_src = float(detected_eps), "auto-detected from blob"
+        else:
+            i3d_eps, eps_src = 1e-5, "source default (no blob to detect from)"
+        models.provenance["I3D_BN_EPS"] = i3d_eps
+        models.provenance["I3D_BN_EPS_SOURCE"] = eps_src
+        i3d_net = InceptionI3D(bn_eps=i3d_eps)
+        i3d_vars = jax.jit(lambda: i3d_net.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 12, 224, 224, 3))))()
         i3d_vars = _load_or_refuse(
             i3d_vars, i3d_key_map, i3d_path,
             [os.path.join(root, "i3d_torchscript.pt")],
@@ -212,11 +231,12 @@ def main():
     p.add_argument("--allow_random_eval_nets", action="store_true",
                    help="compute metrics even when a metric net's weights "
                         "are missing (CLEARLY LABELED; numbers meaningless)")
-    p.add_argument("--i3d_bn_eps", type=float, default=1e-5,
-                   help="BatchNorm epsilon inside the FVD I3D: 1e-5 matches "
-                        "the reference's pytorch_i3d source; the PUBLISHED "
-                        "TF-converted i3d_torchscript.pt blob may use TF's "
-                        "1e-3 — pass 1e-3 when evaluating against it")
+    p.add_argument("--i3d_bn_eps", type=float, default=None,
+                   help="BatchNorm epsilon inside the FVD I3D.  Default: "
+                        "auto-detect from the i3d_torchscript.pt blob (or "
+                        "its extraction sidecar i3d_state.pt.eps.json), "
+                        "falling back to the reference pytorch_i3d source "
+                        "value 1e-5.  Pass explicitly to override")
     args = p.parse_args()
 
     if args.image_size is None:

@@ -87,6 +87,8 @@ def test_harness_end_to_end_with_stub_models(eval_tree, tmp_path):
         result_save_path=str(tmp_path / "result.json"),
         image_size=64, video_fps=6, video_num_frame=12,
         record_instance_metrics=True)
+    # mel provenance travels with every metric JSON (VERDICT r3 #8)
+    assert out["MEL_PROVENANCE"].startswith(("verified", "unverified"))
     for key in ("FID", "FVD", "IA_mean", "RelSync_mean", "AlignSync_mean"):
         assert key in out, key
         assert np.isfinite(out[key] if isinstance(out[key], float)

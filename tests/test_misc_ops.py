@@ -47,3 +47,55 @@ def test_clip_text_model_shapes_and_causality(rng):
 def test_multihost_noop_on_single_host():
     from asva_tpu.parallel.multihost import maybe_initialize_distributed
     assert maybe_initialize_distributed() in (False, True)  # must not raise
+
+
+def test_detect_torchscript_bn_eps_roundtrip(tmp_path):
+    """BN epsilon is read back out of saved jit blobs (both the attribute
+    and the traced-constant path) — feeds animation_eval's --i3d_bn_eps
+    auto-detection."""
+    import torch
+    from asva_tpu.convert.torchscript import (detect_bn_eps,
+                                              extract_state_and_eps)
+
+    class Net(torch.nn.Module):
+        def __init__(self, eps):
+            super().__init__()
+            self.bn = torch.nn.BatchNorm3d(4, eps=eps)
+            self.conv = torch.nn.Conv3d(4, 4, 1)
+
+        def forward(self, x):
+            return self.conv(self.bn(x))
+
+    for eps in (1e-5, 1e-3):
+        traced = torch.jit.trace(Net(eps).eval(), torch.randn(1, 4, 3, 8, 8))
+        assert detect_bn_eps(traced) == eps
+        p = str(tmp_path / f"net_{eps}.pt")
+        torch.jit.save(traced, p)
+        state, got = extract_state_and_eps(p)
+        assert got == eps and len(state) == 7
+
+
+def test_mel_goldens_status_states(tmp_path, monkeypatch):
+    """goldens_status: absent fixture -> 'unverified'; a fixture recorded
+    from our own fbank -> 'verified'; a corrupted one -> 'MISMATCH'."""
+    import numpy as np
+    from asva_tpu.ops import mel
+
+    monkeypatch.setenv("ASVA_MEL_GOLDENS", str(tmp_path / "none.npz"))
+    mel.goldens_status.cache_clear()
+    assert mel.goldens_status().startswith("unverified")
+
+    sr, waves = mel.golden_waveforms()
+    rec = {name: np.asarray(mel.fbank(w, sample_rate=sr))
+           for name, w in waves.items()}
+    np.savez(tmp_path / "ok.npz", **rec)
+    monkeypatch.setenv("ASVA_MEL_GOLDENS", str(tmp_path / "ok.npz"))
+    mel.goldens_status.cache_clear()
+    assert mel.goldens_status() == "verified vs torchaudio goldens"
+
+    rec["noise"] = rec["noise"] + 0.1
+    np.savez(tmp_path / "bad.npz", **rec)
+    monkeypatch.setenv("ASVA_MEL_GOLDENS", str(tmp_path / "bad.npz"))
+    mel.goldens_status.cache_clear()
+    assert mel.goldens_status().startswith("MISMATCH")
+    mel.goldens_status.cache_clear()

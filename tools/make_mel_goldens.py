@@ -15,20 +15,24 @@ import argparse
 import numpy as np
 
 
-def golden_waveforms():
-    """Deterministic test signals, identical to the ones the test rebuilds."""
-    rng = np.random.default_rng(1234)
-    sr, n = 16000, 32000
-    t = np.arange(n) / sr
-    return sr, {
-        "noise": (rng.standard_normal(n) * 0.1).astype(np.float32),
-        "tones": (0.5 * np.sin(2 * np.pi * 440 * t)
-                  + 0.2 * np.sin(2 * np.pi * 3210 * t)).astype(np.float32),
-        "chirp": np.sin(2 * np.pi * (200 * t + 1900 * t * t)).astype(
-            np.float32),
-        "walk": np.clip(rng.standard_normal(n).cumsum() * 1e-3,
-                        -1, 1).astype(np.float32),
-    }
+try:  # single source of truth for the signals (also used by the runtime
+    # provenance label asva_tpu.ops.mel.goldens_status)
+    from asva_tpu.ops.mel import golden_waveforms  # noqa: F401
+except ImportError:  # run from a foreign torchaudio env without the package
+    def golden_waveforms():
+        rng = np.random.default_rng(1234)
+        sr, n = 16000, 32000
+        t = np.arange(n) / sr
+        return sr, {
+            "noise": (rng.standard_normal(n) * 0.1).astype(np.float32),
+            "tones": (0.5 * np.sin(2 * np.pi * 440 * t)
+                      + 0.2 * np.sin(2 * np.pi * 3210 * t)).astype(
+                          np.float32),
+            "chirp": np.sin(2 * np.pi * (200 * t + 1900 * t * t)).astype(
+                np.float32),
+            "walk": np.clip(rng.standard_normal(n).cumsum() * 1e-3,
+                            -1, 1).astype(np.float32),
+        }
 
 
 def main():
