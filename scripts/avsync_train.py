@@ -97,9 +97,15 @@ def main():
             sampling_type=dcfg.sampling_type, seed=cfg.seed)
 
     local_batch = cfg.batch_size * len(mesh.local_devices)
+    # process workers: the 21-clip multipair item holds the GIL for ~69% of
+    # its wall (tools/data_bench.py --gil_probe — big numpy stacks/copies),
+    # so threads cap at ~1.4x aggregate no matter the cores; fork workers
+    # write into shared-memory slabs instead (3x thread throughput measured
+    # even on 1 core, scales with cores on real TPU-VM hosts)
     train_loader = DataLoader(make_ds(cfg.train_dataset, "train"),
-                              local_batch, shuffle=True, num_workers=8,
-                              seed=cfg.seed,
+                              local_batch, shuffle=True,
+                              num_workers=os.cpu_count() or 8,
+                              seed=cfg.seed, worker_mode="process",
                               shard=(jax.process_index(),
                                      jax.process_count()))
     if resumed_extra and "loader" in resumed_extra:

@@ -99,11 +99,71 @@ def bench_loader(loader, n_items_per_batch: int, demand: float, label: str,
     return out
 
 
+def gil_probe(dataset, seconds: float, label: str) -> dict:
+    """Fraction of the item wall during which the GIL is UNAVAILABLE to
+    other threads (a sleeping sampler thread integrates its reacquisition
+    excess; near-zero CPU load, so the decode runs at full speed).
+
+    This is the thread-scaling ceiling: aggregate thread throughput caps
+    at ~1/(gil_fraction).  Measured r4 on the synthetic fixtures:
+    multipair ~69% (big numpy stacks/copies hold the GIL; single holds up
+    to ~1.8 s) -> threads CANNOT feed a chip at any core count; the
+    process worker_mode exists because of this number.  AVSyncD item ~45%
+    -> threads scale to ~2x, usually enough for its small demand."""
+    import threading
+    import time
+    stop = threading.Event()
+    stats = {"w": 0.0}
+
+    def sampler():
+        while not stop.is_set():
+            t0 = time.perf_counter()
+            time.sleep(0.001)
+            stats["w"] += max(0.0, time.perf_counter() - t0 - 0.001)
+
+    th = threading.Thread(target=sampler)
+    th.start()
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        dataset[n % len(dataset)]
+        n += 1
+    wall = time.perf_counter() - t0
+    stop.set()
+    th.join()
+    # idle baseline of the same sampler (scheduler jitter on a loaded box)
+    stop2, base = threading.Event(), {"w": 0.0}
+
+    def sampler2():
+        while not stop2.is_set():
+            t0 = time.perf_counter()
+            time.sleep(0.001)
+            base["w"] += max(0.0, time.perf_counter() - t0 - 0.001)
+
+    th2 = threading.Thread(target=sampler2)
+    th2.start()
+    time.sleep(2.0)
+    stop2.set()
+    th2.join()
+    frac = max(0.0, stats["w"] / wall - base["w"] / 2.0)
+    out = {"metric": f"{label} GIL-unavailable fraction", "value":
+           round(frac, 3), "unit": "fraction of item wall",
+           "item_sec": round(wall / n, 3),
+           "thread_scaling_ceiling": round(1.0 / max(frac, 1e-3), 1)}
+    print(json.dumps(out))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--items", type=int, default=24)
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 1)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--worker_mode", default="thread",
+                    choices=["thread", "process"])
+    ap.add_argument("--gil_probe", action="store_true",
+                    help="measure the GIL-held fraction of one item "
+                         "instead of loader throughput")
     args = ap.parse_args()
     if not media_available():
         print(json.dumps({"error": "libasva_media.so not built"}))
@@ -117,19 +177,31 @@ def main():
 
         ds = AudioVideoDataset(lst, root, mode="train", img_size=256,
                                randflip=True, seed=0)
-        loader = DataLoader(ds, args.batch, shuffle=True,
-                            num_workers=args.workers)
-        bench_loader(loader, args.batch, ANIMATION_DEMAND,
-                     "AVSyncD train (12f@256^2 + 2s wav)", args.workers)
-
         mp = MultiPairAVDataset(
             lst, root, mode="train", num_clips=21, shift_time=0.2,
             video_fps=6, video_num_frames=12, image_size=224,
             sampling_type="random-compact", seed=0)
+        if args.gil_probe:
+            ds[0], mp[0]   # warm container probing out of the measurement
+            gil_probe(ds, 6.0, "AVSyncD item")
+            gil_probe(mp, 10.0, "multipair item")
+            return 0
+
+        loader = DataLoader(ds, args.batch, shuffle=True,
+                            num_workers=args.workers,
+                            worker_mode=args.worker_mode)
+        bench_loader(loader, args.batch, ANIMATION_DEMAND,
+                     f"AVSyncD train (12f@256^2 + 2s wav, "
+                     f"{args.worker_mode})", args.workers)
+        loader.close()
+
         mp_loader = DataLoader(mp, args.batch, shuffle=True,
-                               num_workers=args.workers)
+                               num_workers=args.workers,
+                               worker_mode=args.worker_mode)
         bench_loader(mp_loader, args.batch, SYNC_DEMAND,
-                     "AVSync multipair (21 clips/item)", args.workers)
+                     f"AVSync multipair (21 clips/item, "
+                     f"{args.worker_mode})", args.workers)
+        mp_loader.close()
     return 0
 
 
