@@ -35,12 +35,30 @@ def maybe_initialize_distributed() -> bool:
     multi_worker = os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0
     if not (explicit or multi_worker):
         return False
+    # jax.distributed.initialize() env-reads JAX_COORDINATOR_ADDRESS but
+    # NOT the process count/id — those come only from cluster detection
+    # (Slurm/MPI/TPU pods).  For generic clusters pass them from env
+    # ourselves (the torch `env://` equivalent).
+    kwargs = {}
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if num is not None:
+        kwargs["num_processes"] = int(num)
+    if pid is not None:
+        kwargs["process_id"] = int(pid)
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
         log.info("jax.distributed initialized: process %d/%d",
                  jax.process_index(), jax.process_count())
         return True
-    except Exception as e:  # single-host fallbacks must keep working
+    except Exception as e:
+        if explicit:
+            # an explicitly configured coordinator MUST NOT silently fall
+            # back: N independent "single-host" replicas would train on
+            # duplicate data and corrupt each other's checkpoint writes
+            raise RuntimeError(
+                "jax.distributed.initialize failed although a coordinator "
+                f"address was explicitly configured: {e}") from e
         log.warning("jax.distributed.initialize failed (%s); continuing "
                     "single-host", e)
         return False
@@ -122,3 +140,36 @@ def gather_metric_records(indices, values, value_shape=None):
         indices, values = indices[keep], values[keep]
     uniq, first = np.unique(indices, return_index=True)
     return uniq, values[first]
+
+
+def globalize_host_local(tree, mesh):
+    """Re-place host-local leaves as mesh-replicated GLOBAL arrays.
+
+    Eagerly created scalars (TrainState.step, optax Adam counts) live on a
+    single local device; in multi-process mode orbax refuses to serialize
+    such host-local arrays ("Cannot serialize host local jax.Array"), and
+    they are invisible to collective restore.  Leaves already laid out by a
+    NamedSharding (params, opt moments after shard_pytree) pass through
+    untouched; everything else becomes a fully-replicated global array.
+    Single-process: identity.  Found by the 2-process checkpoint cycle test
+    (tests/test_multihost_train_resume.py).
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if jax.process_count() == 1:
+        return tree
+    rep = NamedSharding(mesh, PartitionSpec())
+
+    def fix(x):
+        if isinstance(x, jax.Array) and isinstance(x.sharding,
+                                                   NamedSharding):
+            return x
+        if isinstance(x, (jax.Array, np.ndarray, np.generic, int, float)):
+            arr = np.asarray(x)
+            return jax.make_array_from_process_local_data(rep, arr,
+                                                          arr.shape)
+        return x
+
+    return jax.tree.map(fix, tree)

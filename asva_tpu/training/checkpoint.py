@@ -40,10 +40,22 @@ class CheckpointManager:
         self._last_saved: Optional[int] = None   # fully committed
         self._pending: Optional[int] = None      # async save in flight
 
+    @staticmethod
+    def _is_primary() -> bool:
+        try:
+            import jax
+            return jax.process_index() == 0
+        except Exception:
+            return True
+
     def _ckpt(self, slot: str = "state"):
         if slot not in self._ckpts:
+            # generous cross-process barrier timeout: on oversubscribed
+            # hosts (or while other processes compile) the async write
+            # threads can starve well past orbax's default before the
+            # primary's directory-creation signal lands
             self._ckpts[slot] = ocp.AsyncCheckpointer(
-                ocp.StandardCheckpointHandler())
+                ocp.StandardCheckpointHandler(), timeout_secs=1800)
         return self._ckpts[slot]
 
     def _wait_all(self):
@@ -88,10 +100,37 @@ class CheckpointManager:
             return
         prev = self._last_saved
         if prev is not None and prev != self._pending \
-                and not self.is_milestone(prev):
+                and not self.is_milestone(prev) and self._is_primary():
+            # primary-only: concurrent rmtree from several processes races
+            # with each other (and with stragglers still reading)
             shutil.rmtree(self._path(prev), ignore_errors=True)
         self._last_saved = self._pending
         self._pending = None
+
+    @staticmethod
+    def _check_serializable(tree: Any) -> None:
+        """Multi-process: host-local jax.Arrays are not collectively
+        serializable; orbax raises INSIDE its async thread while the peer
+        processes hang on the cross-process barrier.  Fail fast on the
+        caller's thread instead (fix: parallel.multihost.
+        globalize_host_local)."""
+        import jax
+        if jax.process_count() == 1:
+            return
+        bad = []
+
+        def visit(path, x):
+            if isinstance(x, jax.Array) and x.is_fully_addressable:
+                bad.append(jax.tree_util.keystr(path))
+            return x
+
+        jax.tree_util.tree_map_with_path(visit, tree)
+        if bad:
+            raise ValueError(
+                "multi-process checkpoint save of host-local arrays would "
+                f"hang the collective write; globalize these leaves first "
+                f"(globalize_host_local): {bad[:8]}"
+                + ("..." if len(bad) > 8 else ""))
 
     def save(self, step: int, state: Any, force: bool = False,
              modules: Optional[dict] = None,
@@ -105,15 +144,25 @@ class CheckpointManager:
         arrays are snapshotted — the write continues in the background."""
         if not force and not self.should_save(step):
             return False
+        if step in (self._pending, self._last_saved):
+            return False   # idempotent: the loop's periodic save at
+            #                max_steps + the final force-save are one step
+        self._check_serializable(state)
+        for tree in (modules or {}).values():
+            self._check_serializable(tree)
         if self._last_saved is None and self._pending is None:
             existing = self.existing_steps()
             self._last_saved = existing[-1] if existing else None
         self._commit_pending()   # previous async save (usually already done)
-        if extra is not None:
+        if extra is not None and self._is_primary():
+            # primary-only: two processes truncating/writing the same file
+            # can interleave into corrupt JSON (content is identical across
+            # ranks — the loader cursor is global)
             os.makedirs(self._path(step), exist_ok=True)
-            with open(os.path.join(self._path(step), "extra.json"),
-                      "w") as f:
+            tmp = os.path.join(self._path(step), ".extra.json.tmp")
+            with open(tmp, "w") as f:
                 json.dump(extra, f)
+            os.replace(tmp, os.path.join(self._path(step), "extra.json"))
         self._ckpt("state").save(os.path.join(self._path(step), "state"),
                                  args=ocp.args.StandardSave(state),
                                  force=True)

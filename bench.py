@@ -34,6 +34,28 @@ ESTIMATED_A100_TORCH_CLIPS_PER_SEC = 0.18
 ESTIMATED_A100_TORCH_TRAIN_STEPS_PER_SEC = 0.77
 
 
+def emit(record: dict) -> None:
+    """Print the ONE bench JSON line AND append it (with git rev +
+    timestamp) to docs/bench_history.jsonl so recorded numbers are
+    reproducible/auditable (r3 ADVICE)."""
+    print(json.dumps(record))
+    try:
+        import os
+        import subprocess
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))
+                             ).stdout.strip()
+        hist = dict(record, git=rev, time=time.strftime("%Y-%m-%dT%H:%M:%S"))
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "docs", "bench_history.jsonl")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps(hist) + "\n")
+    except Exception:
+        pass   # history is best-effort; the stdout line is the contract
+
+
 def bench_train():
     """Optional mode (`python bench.py --train`): full-size AVSyncD training
     step (frozen encoders + UNet fwd/bwd over _temp/_audio + masked AdamW),
@@ -140,14 +162,14 @@ def bench_train():
         dt = time.perf_counter() - t0
         assert all(np.isfinite(l) for l in lf), lf
         sps = N / dt
-    print(json.dumps({
+    emit({
         "metric": f"AVSyncD train steps/sec/chip (batch {B}, 12x256^2, "
                   "bf16+remat, masked AdamW)",
         "value": round(sps, 4),
         "unit": "steps/sec",
         "vs_baseline": round(sps / ESTIMATED_A100_TORCH_TRAIN_STEPS_PER_SEC,
                              3),
-    }))
+    })
 
 
 def bench_sync():
@@ -200,13 +222,13 @@ def bench_sync():
     # reference scale: 350k steps over ~4 days on 8 GPUs ~= 1.0 step/s
     # total ~= 0.127 steps/s/GPU at batch 4
     est_a4500 = 0.127
-    print(json.dumps({
+    emit({
         "metric": f"AVSync classifier train steps/sec/chip (batch {B}x{K} "
                   "clips, 12x224^2, bf16, symmetric InfoNCE)",
         "value": round(sps, 4),
         "unit": "steps/sec",
         "vs_baseline": round(sps / est_a4500, 3),
-    }))
+    })
 
 
 def main():
@@ -297,7 +319,7 @@ def main():
     best_b = max(results, key=results.get)
     clips_per_sec = results[best_b]
     per_batch = ", ".join(f"b{b}={v:.3f}" for b, v in results.items())
-    print(json.dumps({
+    emit({
         "metric": "AVSyncD clips/sec/chip, FULL pipeline incl. mel + "
                   "ImageBind audio tower + VAE encode (12x256^2, DDIM-25, "
                   f"audio CFG 4.0, bf16, best of batches {per_batch}, "
@@ -306,7 +328,7 @@ def main():
         "unit": "clips/sec",
         "vs_baseline": round(clips_per_sec
                              / ESTIMATED_A100_TORCH_CLIPS_PER_SEC, 3),
-    }))
+    })
 
 
 if __name__ == "__main__":

@@ -113,6 +113,14 @@ def main():
         opt_params = partition_params(params, mask)[0]
     state = TrainState(jnp.zeros((), jnp.int32), params,
                        tx.init(opt_params))
+    # multi-process: eager scalars (step, Adam counts) are host-local and
+    # un-checkpointable; re-place them as mesh-replicated global arrays.
+    # audio_params ride along because they are exported as a checkpoint
+    # module — a host-local tree hangs the collective orbax save (its
+    # async op errors while the peers wait on the cross-process barrier)
+    from asva_tpu.parallel.multihost import globalize_host_local
+    state = globalize_host_local(state, mesh)
+    audio_params = globalize_host_local(audio_params, mesh)
 
     ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpts"),
                              cfg.optim.checkpointing_steps,
@@ -152,7 +160,15 @@ def main():
     add_grads = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
     div_grads = jax.jit(lambda a: jax.tree.map(lambda x: x / accum, a))
 
-    rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
+    # ONE key for all processes: noise/timesteps/cond-dropout are generated
+    # inside the jit over the GLOBAL batch shape, so per-sample randomness
+    # needs no per-process salt — and a replicated jit input must be equal
+    # on every process (SPMD invariant).  Per-step keys are fold_in(step),
+    # not a split chain, so a resumed run replays the exact stream the
+    # uninterrupted run would have used (the reference resumes torch RNG
+    # state via accelerator.load_state, scripts/animation_train.py:283-284;
+    # exactness is asserted by tests/test_multihost_train_resume.py).
+    rng = jax.random.PRNGKey(cfg.seed)
     meter, timer = AverageMeter(window=cfg.log_steps), StepTimer()
     metrics = MetricsLogger(os.path.join(cfg.output_dir, "metrics.jsonl"),
                         log_with=cfg.log_with,
@@ -160,6 +176,7 @@ def main():
     shutdown = GracefulShutdown()
     bshard = batch_sharding(mesh)
     step = int(state.step)
+    micro = step * accum     # resume-exact micro-batch counter for fold_in
     acc_grads, acc_count = None, 0
     prof = None
     pending = []  # device loss scalars, materialized at log boundaries
@@ -173,7 +190,8 @@ def main():
             for batch in loader:
                 if step >= max_steps:
                     break
-                rng, sub = jax.random.split(rng)
+                sub = jax.random.fold_in(rng, micro)
+                micro += 1
                 dev_batch = make_global_batch(
                     {"videos": batch["video"],
                      "waveforms": batch["waveform"],

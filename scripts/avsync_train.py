@@ -75,6 +75,11 @@ def main():
     state = SyncTrainState(jnp.zeros((), jnp.int32), variables["params"],
                            variables["batch_stats"],
                            tx.init(variables["params"]))
+    # multi-process: eagerly created leaves are host-local and
+    # un-checkpointable; re-place as mesh-replicated global arrays (the
+    # classifier is small — replication IS its DP layout)
+    from asva_tpu.parallel.multihost import globalize_host_local
+    state = globalize_host_local(state, mesh)
 
     ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpts"),
                              cfg.optim.checkpointing_steps,
