@@ -74,6 +74,10 @@ def bench_train():
                                    build_optimizer, trainable_mask)
 
     B, F = 4, 12
+    for a in sys.argv:              # --batch N: per-chip batch sweep
+        if a.startswith("--batch"):
+            B = int(a.split("=")[1] if "=" in a else sys.argv[
+                sys.argv.index(a) + 1])
     policy = "saveconv"
     for p in ("dots", "highres", "full", "l0", "none", "saveconv"):
         if f"--remat_{p}" in sys.argv:
@@ -164,6 +168,7 @@ def bench_train():
         sps = N / dt
     emit({
         "metric": f"AVSyncD train steps/sec/chip (batch {B}, 12x256^2, "
+                  f"remat={policy}, "
                   "bf16+remat, masked AdamW)",
         "value": round(sps, 4),
         "unit": "steps/sec",
@@ -251,7 +256,7 @@ def main():
     # per-clip optimum (r2 late sweep: b2=0.790 > b1=0.770 > b4=0.753
     # clips/s; pre-kernel it was b1) — default measures both, reports best;
     # pass --sweep to add batch 4
-    BATCHES = (1, 2, 4) if "--sweep" in sys.argv else (1, 2)
+    BATCHES = (1, 2, 3, 4) if "--sweep" in sys.argv else (1, 2)
 
     dtype = jnp.bfloat16
     unet = AudioUNet3D(UNet3DConfig(), dtype=dtype)

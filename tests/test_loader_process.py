@@ -103,3 +103,42 @@ def test_cpu_backend_batches_are_safe_copies(procloader):
             expect = {k: v.copy() for k, v in b.items()}
     np.testing.assert_array_equal(held["x"], expect["x"])
     np.testing.assert_array_equal(held["y"], expect["y"])
+
+
+def test_process_mode_multipair_media_items(tmp_path):
+    """End-to-end through the C++ decode + shm slabs: the real multipair
+    dataset (the workload process mode exists for) yields identical batches
+    in both modes."""
+    from asva_tpu.data.media import media_available, write_video
+    from asva_tpu.data.multipair import MultiPairAVDataset
+    if not media_available():
+        pytest.skip("libasva_media.so not built")
+    rng = np.random.default_rng(3)
+    t = np.arange(int(5.0 * 16000)) / 16000
+    names = []
+    for i in range(2):
+        frames = (rng.random((40, 48, 64, 3)) * 255).astype(np.uint8)
+        audio = (0.3 * np.sin(2 * np.pi * (250 + 99 * i) * t)
+                 ).astype(np.float32)[None]
+        name = f"v{i}.mp4"
+        write_video(str(tmp_path / name), frames, 8.0, audio, 16000)
+        names.append(name)
+    (tmp_path / "train.txt").write_text("\n".join(names))
+
+    def make(mode):
+        ds = MultiPairAVDataset(str(tmp_path / "train.txt"), str(tmp_path),
+                                mode="train", num_clips=3, shift_time=0.2,
+                                video_fps=6, video_num_frames=4,
+                                image_size=32, seed=5)
+        return DataLoader(ds, 2, shuffle=True, num_workers=2, seed=5,
+                          worker_mode=mode)
+
+    lt, lp = make("thread"), make("process")
+    try:
+        bt = [{k: np.copy(v) for k, v in b.items()} for b in lt]
+        bp = [{k: np.copy(v) for k, v in b.items()} for b in lp]
+        assert len(bt) == len(bp) == 1
+        for key in bt[0]:
+            np.testing.assert_array_equal(bt[0][key], bp[0][key])
+    finally:
+        lp.close()
