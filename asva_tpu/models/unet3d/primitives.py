@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -132,6 +133,87 @@ class FFInflatedConv(nn.Module):
         head = y[:, 0:1] @ k_head                    # (b,1,h,w,C), broadcast
         # prev-frame term: shift AFTER the matmul (shift commutes with the
         # per-position linear map), avoiding a full shifted copy of y
+        zp = y @ k_prev
+        prev = jnp.concatenate([zp[:, 0:1], zp[:, :-1]], axis=1)
+        mix = head + prev + (y @ k_curr)
+        return y + mix + bias.astype(y.dtype)
+
+
+class _Upsample2xConvCore(nn.Module):
+    """conv3x3(nearest_up2(x)) evaluated on the PRE-upsample grid.
+
+    Nearest x2 duplicates each source pixel 2x2, so for an output pixel of
+    parity (dh, dw) the 3 taps along an axis hit only 2 distinct source
+    positions and the 3x3 kernel folds to a 2x2 one per parity:
+      row offsets for dh=0 map (k0, k1, k2) -> (-1: k0, 0: k1+k2),
+      for dh=1 -> (0: k0+k1, +1: k2)   (same along columns).
+    Four 2x2 convs (16 C^2 HW MACs) replace one 3x3 conv on the 2x grid
+    (36 C^2 HW) and the 4x activation never exists.  Zero-padding edges
+    match the naive path exactly (the folded tap that would read the pad
+    row reads the pad row here too).  Param path/shape/init identical to
+    Conv2DParams ("conv/{kernel,bias}" of a 3x3 conv)."""
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # (n, H, W, C)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        n, hh, ww = x.shape[0], x.shape[1], x.shape[2]
+        fold = jnp.asarray(np.array([[[1, 0, 0], [0, 1, 1]],
+                                     [[1, 1, 0], [0, 0, 1]]], np.float32))
+        pads = {0: (1, 0), 1: (0, 1)}   # folded tap offsets {-1,0} / {0,+1}
+        dn = None
+        planes = []
+        xin = x.astype(self.dtype)
+        for dh in (0, 1):
+            for dw in (0, 1):
+                # fold in fp32, cast after (matches the naive path's fp32
+                # kernel being cast once, up to one rounding of the sum)
+                ke = jnp.einsum("ar,rsio,bs->abio", fold[dh],
+                                kernel, fold[dw]).astype(self.dtype)
+                if dn is None:
+                    dn = jax.lax.conv_dimension_numbers(
+                        xin.shape, ke.shape, ("NHWC", "HWIO", "NHWC"))
+                planes.append(jax.lax.conv_general_dilated(
+                    xin, ke, (1, 1), (pads[dh], pads[dw]),
+                    dimension_numbers=dn))
+        p = jnp.stack(planes)            # (4=dh*2+dw, n, H, W, C)
+        c = self.features
+        p = p.reshape(2, 2, n, hh, ww, c)
+        p = p.transpose(2, 3, 0, 4, 1, 5)        # (n, H, 2, W, 2, C)
+        out = p.reshape(n, hh * 2, ww * 2, c)
+        return out + bias.astype(out.dtype)
+
+
+class FFInflatedUpsample2xConv(nn.Module):
+    """FFInflatedConv(3, 1, 1) applied to nearest_up2(x), computed without
+    ever materializing the upsampled tensor (see _Upsample2xConvCore).
+    Param tree identical to FFInflatedConv: conv/{kernel,bias} +
+    {temp_kernel, temp_bias}; temporal mix code mirrors FFInflatedConv."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # (b, f, h, w, c)
+        b, f = x.shape[0], x.shape[1]
+        flat = x.reshape((b * f,) + x.shape[2:])
+        y = _Upsample2xConvCore(self.features, int(x.shape[-1]),
+                                dtype=self.dtype, name="conv")(flat)
+        y = y.reshape((b, f) + y.shape[1:])
+        from jax.ad_checkpoint import checkpoint_name
+        y = checkpoint_name(y, "conv_out")
+
+        c = self.features
+        kernel = self.param("temp_kernel", nn.initializers.zeros, (3 * c, c))
+        bias = self.param("temp_bias", nn.initializers.zeros, (c,))
+        k_head, k_prev, k_curr = (kernel[:c], kernel[c:2 * c], kernel[2 * c:])
+        k_head = k_head.astype(y.dtype)
+        k_prev = k_prev.astype(y.dtype)
+        k_curr = k_curr.astype(y.dtype)
+        head = y[:, 0:1] @ k_head
         zp = y @ k_prev
         prev = jnp.concatenate([zp[:, 0:1], zp[:, :-1]], axis=1)
         mix = head + prev + (y @ k_curr)

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.norms import VideoGroupNorm
-from .primitives import FFInflatedConv
+from .primitives import FFInflatedConv, FFInflatedUpsample2xConv
 
 
 class FFResnetBlock(nn.Module):
@@ -85,12 +85,25 @@ class FFDownsample(nn.Module):
 
 
 class FFUpsample(nn.Module):
-    """Nearest x2 spatial upsample + FF conv (frame axis untouched)."""
+    """Nearest x2 spatial upsample + FF conv (frame axis untouched).
+
+    decomposed=True (default) evaluates conv3x3(nearest_up2(x)) as four
+    2x2 convs ON THE PRE-UPSAMPLE GRID + pixel interleave — exact algebra
+    (nearest duplication means each 3x3 tap row hits only 2 distinct
+    source rows, so kernel weights fold: see FFInflatedUpsample2xConv).
+    2.25x fewer conv MACs and the 4x-sized upsampled activation is never
+    materialized; the upsample convs are ~17% of the eval's conv FLOPs.
+    Param tree identical to the naive path (checkpoints interchangeable);
+    equivalence pinned by tests/test_primitives.py."""
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    decomposed: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.decomposed:
+            return FFInflatedUpsample2xConv(self.out_channels,
+                                            dtype=self.dtype, name="conv")(x)
         # nearest-neighbour x2 on (h, w): exact repeat, matches
         # F.interpolate(mode="nearest", scale_factor=[1, 2, 2]).
         x = jnp.repeat(x, 2, axis=2)

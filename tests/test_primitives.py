@@ -183,3 +183,32 @@ def test_sinusoidal_embedding_matches_diffusers_formula():
     ref = np.concatenate([np.cos(emb), np.sin(emb)], axis=-1)
     out = sinusoidal_timestep_embedding(jnp.asarray(ts), dim)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_upsample_conv_decomposition_equivalence(rng):
+    """FFUpsample(decomposed=True) == nearest_up2 + FFInflatedConv with the
+    SAME params (exact kernel-folding algebra, incl. zero-pad edges and the
+    temporal mix); both directions of the shared param tree."""
+    import jax
+    from asva_tpu.models.unet3d.resnet import FFUpsample
+
+    b, f, h, w, c = 2, 3, 4, 6, 8
+    x = jnp.asarray(rng.standard_normal((b, f, h, w, c)), jnp.float32)
+    fast = FFUpsample(c, decomposed=True)
+    naive = FFUpsample(c, decomposed=False)
+    variables = naive.init(jax.random.PRNGKey(0), x)
+    # exercise the temporal mix too (zero-init by default)
+    variables = jax.tree.map(
+        lambda p: p + 0.05 * np.arange(p.size, dtype=np.float32
+                                       ).reshape(p.shape) % 0.3, variables)
+    ref = naive.apply(variables, x)
+    out = fast.apply(variables, x)     # identical param tree
+    assert out.shape == ref.shape == (b, f, 2 * h, 2 * w, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)
+
+    # and the fast path's own init must be naive-consumable (same tree)
+    v2 = fast.init(jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(
+        np.asarray(naive.apply(v2, x)), np.asarray(fast.apply(v2, x)),
+        atol=2e-6, rtol=2e-6)
