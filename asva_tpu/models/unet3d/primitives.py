@@ -139,7 +139,7 @@ class FFInflatedConv(nn.Module):
         return y + mix + bias.astype(y.dtype)
 
 
-class _Upsample2xConvCore(nn.Module):
+class Upsample2xConv2D(nn.Module):
     """conv3x3(nearest_up2(x)) evaluated on the PRE-upsample grid.
 
     Nearest x2 duplicates each source pixel 2x2, so for an output pixel of
@@ -200,7 +200,7 @@ class FFInflatedUpsample2xConv(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # (b, f, h, w, c)
         b, f = x.shape[0], x.shape[1]
         flat = x.reshape((b * f,) + x.shape[2:])
-        y = _Upsample2xConvCore(self.features, int(x.shape[-1]),
+        y = Upsample2xConv2D(self.features, int(x.shape[-1]),
                                 dtype=self.dtype, name="conv")(flat)
         y = y.reshape((b, f) + y.shape[1:])
         from jax.ad_checkpoint import checkpoint_name

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .unet3d.primitives import Upsample2xConv2D
 from ..ops.norms import SpatialGroupNorm
 
 
@@ -136,9 +137,12 @@ class Decoder(nn.Module):
                 h = VAEResnetBlock(ch, g, dtype=self.dtype,
                                    name=f"up_{i}_resnet_{j}")(h)
             if i < len(rev) - 1:
-                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-                h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
-                            dtype=self.dtype, name=f"up_{i}_upsample")(h)
+                # conv3x3(nearest_up2(h)) on the pre-upsample grid — exact
+                # kernel-folding decomposition, 2.25x fewer MACs, no 4x
+                # intermediate (see unet3d.primitives.Upsample2xConv2D;
+                # param path/shape identical to the naive nn.Conv)
+                h = Upsample2xConv2D(ch, ch, dtype=self.dtype,
+                                     name=f"up_{i}_upsample")(h)
         h = SpatialGroupNorm(g, 1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
