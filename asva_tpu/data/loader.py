@@ -281,7 +281,6 @@ class DataLoader:
         done = {}                 # batch_pos -> (slab_id, n_items, error)
         outstanding = 0           # dispatched item tasks not yet reported
         next_dispatch, next_yield = 0, 0
-        held_slab = None          # slab the consumer is currently reading
         try:
             while next_yield < len(batches):
                 while free and next_dispatch < len(batches):
@@ -315,16 +314,28 @@ class DataLoader:
                         free.append(slab_id)
                         yield batch
                     else:
-                        held_slab = slab_id
                         yield views      # valid until the next batch request
                         free.append(slab_id)
-                        held_slab = None
             self.epoch += 1
             self._cursor = 0
         finally:
-            # early exit / error: drain outstanding results so the shared
-            # queues are clean for the next __iter__; rebuild on timeout
+            # early exit / error: flush tasks no worker has picked up yet
+            # (so workers don't keep decoding up to prefetch+2 abandoned
+            # ~150 MB multipair batches), then drain the results of tasks
+            # already in flight so the shared queues are clean for the next
+            # __iter__; rebuild the pool on timeout.  A worker may grab a
+            # task between flush attempts — its result shows up in result_q
+            # and is drained below.
+            import queue as _queue
             import time
+            while outstanding > 0:
+                try:
+                    pool.task_q.get_nowait()
+                    outstanding -= 1
+                except _queue.Empty:
+                    break
+                except Exception:
+                    break
             deadline = time.monotonic() + 60.0
             while outstanding > 0 and time.monotonic() < deadline:
                 try:

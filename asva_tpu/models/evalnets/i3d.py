@@ -12,10 +12,15 @@ implementation (avgen/evaluations/models/pytorch_i3d.py:73
 internal BN uses TF's 1e-3.
 
 Head note: the reference pools with ``AvgPool3d([2,7,7], stride=1)`` then
-logits then time-mean (pytorch_i3d.py:280-318).  For the FVD protocol input
-(12 frames @ 224^2) the temporal extent at the head is 2, so that equals
-the global spatial+temporal mean used here (the 1x1x1 logits conv commutes
-with the temporal mean); other frame counts would need the sliding window.
+logits then time-mean (pytorch_i3d.py:280-318) — a SLIDING temporal window
+(output t'-1 windows for head extent t'), implemented exactly here, so
+features are correct for ANY frame count (e.g. f=24 reaches the head with
+t'=3, where a global temporal mean would diverge; parity-tested at f=16
+and f=24 in tests/test_eval_script_e2e.py).  For the 12-frame protocol
+t'=2 and the window degenerates to the global mean.  Window sizes are
+clamped to the input extent (min(2,t'), min(7,h)) so tiny smoke inputs
+still run; torch itself errors below the kernel size, so clamping only
+engages on inputs the reference cannot process at all.
 """
 from __future__ import annotations
 
@@ -118,8 +123,15 @@ class InceptionI3D(nn.Module):
                             bn_eps=self.bn_eps, dtype=self.dtype)(x, train)
         x = InceptionModule((384, 192, 384, 48, 128, 128), name="Mixed_5c",
                             bn_eps=self.bn_eps, dtype=self.dtype)(x, train)
-        # global spatial avg-pool, keep temporal, then logits conv + time-mean
-        x = jnp.mean(x, axis=(2, 3), keepdims=True)  # (b, f', 1, 1, 1024)
+        # reference head: AvgPool3d([2,7,7], stride 1) — sliding over the
+        # temporal axis (t' - 1 windows) and, at protocol 224^2 input where
+        # the head is exactly 7x7, a full spatial reduce — then the 1x1x1
+        # logits conv and a mean over the remaining window axes
+        # (pytorch_i3d.py:280-318: spatial squeeze + logits.mean(dim=2))
+        t, h, w = x.shape[1:4]
+        win = (min(2, t), min(7, h), min(7, w))
+        x = nn.avg_pool(x, win, strides=(1, 1, 1), padding="VALID")
         x = Unit3D(self.num_classes, use_bn=False, activation=False,
-                   use_bias=True, name="logits", bn_eps=self.bn_eps, dtype=self.dtype)(x, train)
+                   use_bias=True, name="logits", bn_eps=self.bn_eps,
+                   dtype=self.dtype)(x, train)
         return jnp.mean(x, axis=(1, 2, 3))  # (b, 400)

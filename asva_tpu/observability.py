@@ -102,6 +102,7 @@ class GracefulShutdown:
 
     def __init__(self):
         self.requested = False
+        self._round = 0      # KV-store agreement round (requested_global)
         self._prev = {}
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
@@ -129,18 +130,70 @@ class GracefulShutdown:
             return False
         return self.requested_global()
 
+    #: bound on how long a rank waits for its peers' shutdown flags before
+    #: raising (instead of hanging forever in a wedged collective)
+    agreement_timeout_s: float = 600.0
+
     def requested_global(self) -> bool:
         """Cross-rank agreement: True iff ANY process got the signal.
-        Single-process this is just .requested (no collective)."""
+        Single-process this is just .requested (no collective).
+
+        Multi-process, the agreement rides the jax.distributed
+        coordination-service KV store — NOT an XLA collective — so it
+        (a) never enters the XLA:CPU cross-process rendezvous (which can
+        wedge under scheduler pressure on oversubscribed hosts) and
+        (b) is BOUNDED: each peer flag read times out after
+        `agreement_timeout_s`, raising TimeoutError rather than hanging
+        the fleet.  Falls back to an allgather only if no coordination
+        client exists (never the case after jax.distributed.initialize).
+        """
         import jax
         if jax.process_count() == 1:
             return self.requested
-        import numpy as np
+        client = None
+        try:
+            from jax._src import distributed
+            client = distributed.global_state.client
+        except Exception:
+            pass
+        if client is None:     # no coordination service: allgather fallback
+            import numpy as np
 
-        from .parallel.multihost import process_allgather
-        flags = process_allgather(
-            np.array([1.0 if self.requested else 0.0]))
-        got = bool(np.asarray(flags).sum() > 0)
+            from .parallel.multihost import process_allgather
+            flags = process_allgather(
+                np.array([1.0 if self.requested else 0.0]))
+            got = bool(np.asarray(flags).sum() > 0)
+            if got:
+                self.requested = True
+            return got
+        n, rank = self._round, jax.process_index()
+        self._round += 1
+        prefix = f"asva/graceful_shutdown/{n}"
+        client.key_value_set(f"{prefix}/{rank}",
+                             "1" if self.requested else "0")
+        got = False
+        timeout_ms = max(1, int(self.agreement_timeout_s * 1000))
+        for r in range(jax.process_count()):
+            try:
+                v = client.blocking_key_value_get(f"{prefix}/{r}",
+                                                  timeout_ms)
+            except Exception as e:
+                raise TimeoutError(
+                    f"shutdown agreement round {n}: rank {r} did not "
+                    f"publish its flag within {self.agreement_timeout_s}s "
+                    "— peer dead or wedged; aborting instead of hanging"
+                ) from e
+            got = got or v == "1"
+        # GC this rank's key from two rounds back: any rank entering round
+        # n has read ALL round n-1 keys, which required every rank to have
+        # SET its round n-1 key, which happens only after that rank
+        # finished reading round n-2 — so round n-2 keys are dead.
+        if n >= 2:
+            try:
+                client.key_value_delete(
+                    f"asva/graceful_shutdown/{n - 2}/{rank}")
+            except Exception:
+                pass
         if got:
             self.requested = True
         return got

@@ -148,9 +148,11 @@ def globalize_host_local(tree, mesh):
     Eagerly created scalars (TrainState.step, optax Adam counts) live on a
     single local device; in multi-process mode orbax refuses to serialize
     such host-local arrays ("Cannot serialize host local jax.Array"), and
-    they are invisible to collective restore.  Leaves already laid out by a
-    NamedSharding (params, opt moments after shard_pytree) pass through
-    untouched; everything else becomes a fully-replicated global array.
+    they are invisible to collective restore.  Leaves that are already
+    global (not fully addressable from this process — the exact property
+    orbax needs, regardless of whether the sharding is Named or a GSPMD
+    output of an earlier jit) pass through untouched; every fully-
+    addressable leaf becomes a fully-replicated global array.
     Single-process: identity.  Found by the 2-process checkpoint cycle test
     (tests/test_multihost_train_resume.py).
     """
@@ -163,8 +165,7 @@ def globalize_host_local(tree, mesh):
     rep = NamedSharding(mesh, PartitionSpec())
 
     def fix(x):
-        if isinstance(x, jax.Array) and isinstance(x.sharding,
-                                                   NamedSharding):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
             return x
         if isinstance(x, (jax.Array, np.ndarray, np.generic, int, float)):
             arr = np.asarray(x)

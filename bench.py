@@ -74,10 +74,13 @@ def bench_train():
                                    build_optimizer, trainable_mask)
 
     B, F = 4, 12
-    for a in sys.argv:              # --batch N: per-chip batch sweep
-        if a.startswith("--batch"):
-            B = int(a.split("=")[1] if "=" in a else sys.argv[
-                sys.argv.index(a) + 1])
+    for i, a in enumerate(sys.argv):    # --batch N: per-chip batch sweep
+        if a == "--batch":
+            if i + 1 >= len(sys.argv):
+                sys.exit("--batch requires a value")
+            B = int(sys.argv[i + 1])
+        elif a.startswith("--batch="):
+            B = int(a.split("=", 1)[1])
     policy = "saveconv"
     for p in ("dots", "highres", "full", "l0", "none", "saveconv"):
         if f"--remat_{p}" in sys.argv:

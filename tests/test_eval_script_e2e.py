@@ -104,6 +104,34 @@ def test_i3d_converter_and_forward_parity(artifacts, rng):
                                rtol=2e-3)
 
 
+@pytest.mark.parametrize("frames", [16, 24])
+def test_i3d_sliding_window_head_parity(rng, frames):
+    """Frame counts beyond the 12-frame protocol: the head's
+    AvgPool3d([2,7,7], stride 1) slides over the temporal axis (f=24
+    reaches the head with t'=3 -> 2 windows, where a global temporal mean
+    diverges).  Truth = the reference's own InceptionI3d exec'd from
+    source (pytorch_i3d.py:280-318)."""
+    from tools.torch_eval_nets import make_reference_i3d
+    tnet = make_reference_i3d(seed=7)
+    state = {k: v.float().numpy() for k, v in tnet.state_dict().items()}
+
+    net = InceptionI3D()
+    ivars = net.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, frames, 224, 224, 3)))
+    ivars, report = convert_state_dict(ivars, state, i3d_key_map)
+    _assert_clean_report(report, "fvd_i3d_sliding")
+
+    v = rng.standard_normal((1, frames, 224, 224, 3)).astype(np.float32)
+    v = np.clip(v, -1, 1)
+    ours = np.asarray(net.apply(ivars, jnp.asarray(v)))
+    with torch.no_grad():
+        theirs = tnet(torch.from_numpy(v.transpose(0, 4, 1, 2, 3))).numpy()
+    assert ours.shape == theirs.shape == (1, 400)
+    scale = np.abs(theirs).max()
+    np.testing.assert_allclose(ours, theirs, atol=2e-3 * max(scale, 1.0),
+                               rtol=2e-3)
+
+
 @pytest.mark.skipif(not media_available(), reason="media layer not built")
 def test_animation_eval_script_e2e(artifacts, tmp_path, monkeypatch, rng):
     """Full CLI: synthetic GT/generated clip tree + minted metric-net

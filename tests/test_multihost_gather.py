@@ -139,6 +139,11 @@ jax.distributed.initialize(coordinator_address=sys.argv[1],
 from asva_tpu.observability import GracefulShutdown
 pid = jax.process_index()
 sd = GracefulShutdown()
+sd.agreement_timeout_s = 120.0   # bounded: a wedged peer raises, not hangs
+# two all-clear sync points first (exercises the KV round counter and the
+# round-(n-2) key GC path), then the signal lands on ONE rank only
+assert sd.poll(sync_point=True) is False
+assert sd.poll(sync_point=True) is False
 if pid == 1:
     sd.requested = True  # the signal landed on ONE rank only
 # off the sync point, poll never enters a collective: every rank (even
@@ -178,11 +183,8 @@ def test_two_process_shutdown_agreement(tmp_path):
     sync point must make EVERY rank agree to checkpoint (the forced orbax
     save is collective — disagreement deadlocks the fleet).
 
-    One retry: on this 1-core box the XLA:CPU cross-process rendezvous
-    rarely misbehaves under scheduler pressure (observed once across
-    hundreds of runs; 15/15 green immediately after) — two consecutive
-    failures still fail the test."""
-    try:
-        _run_shutdown_agreement(tmp_path)
-    except AssertionError:
-        _run_shutdown_agreement(tmp_path)
+    No retry needed anymore: the agreement rides the coordination-service
+    KV store with a bounded per-read timeout, not the XLA:CPU
+    cross-process rendezvous that rarely wedged under scheduler pressure
+    on this 1-core box (r4 carried a retry for that)."""
+    _run_shutdown_agreement(tmp_path)

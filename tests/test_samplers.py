@@ -195,6 +195,10 @@ def test_samplers_match_diffusers_goldens_if_present():
     from asva_tpu.diffusion.samplers import plms_plan
 
     goldens = np.load(path)
+    # committed fixture is minted with --independent (real diffusers can't
+    # be installed in this sandbox); re-mint from real diffusers flips this
+    prov = str(goldens["provenance"]) if "provenance" in goldens else "?"
+    print(f"scheduler goldens provenance: {prov}")
     sched = DiffusionSchedule()
     for kind, steps in CASES:
         ts = goldens[f"{kind}_{steps}_timesteps"]
