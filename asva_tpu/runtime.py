@@ -107,9 +107,10 @@ def build_vae(dtype=jnp.bfloat16, weights_dir: Optional[str] = None):
 
 
 def build_audio_encoder(n_segment: int = 12, dtype=jnp.bfloat16,
-                        weights_dir: Optional[str] = None):
-    model = SegmaskAudioEncoder(ImageBindAudioConfig(), n_segment=n_segment,
-                                dtype=dtype)
+                        weights_dir: Optional[str] = None,
+                        config: Optional[ImageBindAudioConfig] = None):
+    model = SegmaskAudioEncoder(config or ImageBindAudioConfig(),
+                                n_segment=n_segment, dtype=dtype)
     params = _init_params(model, jnp.zeros((1, 128, 204, 1)))
     return model, _maybe_convert(params, weights_dir, imagebind_audio_key_map,
                                  "audio_encoder")
@@ -206,6 +207,31 @@ def load_null_text_encoding(path: Optional[str]):
     return None
 
 
+def _config_from_dict(cls, d: dict):
+    """Rebuild a config dataclass from a modules_config.json dict:
+    unknown keys are dropped (forward compat), lists become tuples."""
+    import dataclasses
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kw = {k: tuple(v) if isinstance(v, list) else v
+          for k, v in d.items() if k in fields}
+    return cls(**kw)
+
+
+def load_module_configs(checkpoint_modules_dir: Optional[str]):
+    """Read checkpoint-N/modules_config.json (written by CheckpointManager
+    next to the module exports — the analogue of the reference's HF
+    save_pretrained config.json) if present; returns dict or None."""
+    if not checkpoint_modules_dir:
+        return None
+    path = os.path.join(os.path.dirname(
+        os.path.abspath(checkpoint_modules_dir)), "modules_config.json")
+    if not os.path.isfile(path):
+        return None
+    import json
+    with open(path) as f:
+        return json.load(f)
+
+
 def load_animation_pipeline(
     checkpoint_modules_dir: Optional[str] = None,   # .../checkpoint-N/modules
     sd_root: Optional[str] = "pretrained/stable-diffusion-v1-5",
@@ -214,8 +240,12 @@ def load_animation_pipeline(
     n_segment: int = 12,
     dtype=jnp.bfloat16,
     param_dtype=jnp.bfloat16,   # inference weights; None keeps fp32
-    unet_config: UNet3DConfig = UNet3DConfig(),
+    unet_config: Optional[UNet3DConfig] = None,
 ) -> AnimationPipeline:
+    """unet_config=None: use the architecture recorded in the checkpoint's
+    modules_config.json when present (self-describing exports, mirroring
+    the reference's from_pretrained config.json semantics), else the
+    full-size default."""
     unet_dir = (os.path.join(checkpoint_modules_dir, "unet")
                 if checkpoint_modules_dir else
                 (os.path.join(sd_root, "unet") if sd_root else None))
@@ -223,10 +253,23 @@ def load_animation_pipeline(
                  if checkpoint_modules_dir else None)
     vae_dir = os.path.join(sd_root, "vae") if sd_root else None
 
+    mod_cfgs = load_module_configs(checkpoint_modules_dir) or {}
+    audio_config = None
+    if unet_config is None and "unet" in mod_cfgs:
+        unet_config = _config_from_dict(UNet3DConfig, mod_cfgs["unet"])
+        log.info("unet: architecture from modules_config.json")
+    if "audio_encoder" in mod_cfgs:
+        audio_config = _config_from_dict(ImageBindAudioConfig,
+                                         mod_cfgs["audio_encoder"])
+        log.info("audio_encoder: architecture from modules_config.json")
+    if unet_config is None:
+        unet_config = UNet3DConfig()
+
     unet, unet_params = build_unet(unet_config, dtype, unet_dir,
                                    video_length=n_segment)
     vae, vae_params = build_vae(dtype, vae_dir)
-    audio_enc, audio_params = build_audio_encoder(n_segment, dtype, audio_dir)
+    audio_enc, audio_params = build_audio_encoder(n_segment, dtype, audio_dir,
+                                                  config=audio_config)
     if param_dtype is not None:
         from .utils import cast_floating
         unet_params, vae_params, audio_params = (

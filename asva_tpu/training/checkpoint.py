@@ -27,11 +27,19 @@ import orbax.checkpoint as ocp
 
 class CheckpointManager:
     def __init__(self, directory: str, checkpointing_steps: int = 1000,
-                 milestone_steps: int = 0):
+                 milestone_steps: int = 0,
+                 module_configs: Optional[dict] = None):
+        """module_configs: JSON-serializable {module_name: config_dict},
+        written as checkpoint-N/modules_config.json alongside every module
+        export — the analogue of the reference's HF save_pretrained
+        config.json (audio_cond_animation_trainer.py:152-155), so a module
+        export is self-describing and load_animation_pipeline can rebuild
+        the exact architecture without out-of-band config."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.checkpointing_steps = checkpointing_steps
         self.milestone_steps = milestone_steps
+        self.module_configs = module_configs
         # one AsyncCheckpointer PER SAVE SLOT (state, each module): orbax's
         # AsyncCheckpointer.save waits for ITS OWN previous write, so a
         # single instance would serialize the state+module writes of one
@@ -170,6 +178,13 @@ class CheckpointManager:
             self._ckpt(f"modules/{name}").save(
                 os.path.join(self._path(step), "modules", name),
                 args=ocp.args.StandardSave(tree), force=True)
+        if modules and self.module_configs and self._is_primary():
+            os.makedirs(self._path(step), exist_ok=True)
+            tmp = os.path.join(self._path(step), ".modules_config.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(self.module_configs, f, indent=1)
+            os.replace(tmp,
+                       os.path.join(self._path(step), "modules_config.json"))
         self._pending = step
         return True
 

@@ -122,9 +122,15 @@ def main():
     state = globalize_host_local(state, mesh)
     audio_params = globalize_host_local(audio_params, mesh)
 
+    import dataclasses as _dc
     ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpts"),
                              cfg.optim.checkpointing_steps,
-                             cfg.optim.checkpointing_milestones)
+                             cfg.optim.checkpointing_milestones,
+                             module_configs={
+                                 "unet": _dc.asdict(cfg.unet),
+                                 "audio_encoder": dict(
+                                     _dc.asdict(audio_enc.config),
+                                     n_segment=cfg.n_segment)})
     resumed_extra = None
     if cfg.optim.resume_from_checkpoint == "latest":
         restored = ckpt.restore_latest(state)
