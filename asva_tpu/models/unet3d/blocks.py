@@ -27,6 +27,7 @@ class DownBlock(nn.Module):
     has_attention: bool = False
     use_audio: bool = False
     num_heads: int = 8
+    fuse_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -42,7 +43,8 @@ class DownBlock(nn.Module):
             if self.has_attention:
                 x = SpatioAudioTempTransformer3D(
                     self.num_heads, head_dim, norm_num_groups=self.groups,
-                    use_audio=self.use_audio, dtype=self.dtype,
+                    use_audio=self.use_audio,
+                    fuse_blocks=self.fuse_blocks, dtype=self.dtype,
                     name=f"attentions_{i}")(
                     x, text_context, audio_context, audio_mask,
                     audio_token_indices)
@@ -61,6 +63,7 @@ class MidBlock(nn.Module):
     eps: float = 1e-5
     use_audio: bool = True
     num_heads: int = 8
+    fuse_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -72,7 +75,8 @@ class MidBlock(nn.Module):
         for i in range(self.num_layers):
             x = SpatioAudioTempTransformer3D(
                 self.num_heads, head_dim, norm_num_groups=self.groups,
-                use_audio=self.use_audio, dtype=self.dtype,
+                use_audio=self.use_audio, fuse_blocks=self.fuse_blocks,
+                dtype=self.dtype,
                 name=f"attentions_{i}")(
                 x, text_context, audio_context, audio_mask,
                 audio_token_indices)
@@ -90,6 +94,7 @@ class UpBlock(nn.Module):
     has_attention: bool = False
     use_audio: bool = False
     num_heads: int = 8
+    fuse_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -109,7 +114,8 @@ class UpBlock(nn.Module):
             if self.has_attention:
                 x = SpatioAudioTempTransformer3D(
                     self.num_heads, head_dim, norm_num_groups=self.groups,
-                    use_audio=self.use_audio, dtype=self.dtype,
+                    use_audio=self.use_audio,
+                    fuse_blocks=self.fuse_blocks, dtype=self.dtype,
                     name=f"attentions_{i}")(
                     x, text_context, audio_context, audio_mask,
                     audio_token_indices)

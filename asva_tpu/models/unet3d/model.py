@@ -66,7 +66,10 @@ class UNet3DConfig:
     # highres, less recompute); "saveconv": like highres but the rematted
     # levels SAVE their FFInflatedConv 2D-conv outputs (checkpoint_name
     # "conv_out") — backward never re-runs a conv (frozen kernels need no
-    # wgrad; dgrad needs only weights) at ~0.8 GB extra activations
+    # wgrad; dgrad needs only weights) at ~0.8 GB extra activations;
+    # "saveconv0": mixed — level 0 keeps the saveconv named saves, level 1
+    # fully remats (drops level-1's ~1 GB of saved conv/sublayer tensors
+    # at batch 6 for a larger-batch memory frontier)
     remat_policy: str = "full"
 
     @classmethod
@@ -83,6 +86,10 @@ class UNet3DConfig:
 class AudioUNet3D(nn.Module):
     config: UNet3DConfig = UNet3DConfig()
     dtype: jnp.dtype = jnp.float32
+    # generation-path flag: fuse attn1+audio-x+text-x into one Pallas
+    # program per transformer block (see transformer.py; param tree is
+    # unchanged — pipelines enable it via unet.clone(fuse_blocks=True))
+    fuse_blocks: bool = False
 
     @nn.compact
     def __call__(
@@ -122,11 +129,13 @@ class AudioUNet3D(nn.Module):
                 policy = jax.checkpoint_policies.\
                     dots_with_no_batch_dims_saveable
                 return nn.remat(cls_, policy=policy)
-            if cfg.remat_policy in ("highres", "saveconv") and level >= 2:
+            if (cfg.remat_policy in ("highres", "saveconv", "saveconv0")
+                    and level >= 2):
                 return cls_
             if cfg.remat_policy == "l0" and level >= 1:
                 return cls_
-            if cfg.remat_policy == "saveconv":
+            if (cfg.remat_policy == "saveconv"
+                    or (cfg.remat_policy == "saveconv0" and level == 0)):
                 # "attn_res": the fused-attention o/lse residuals
                 # (ops/pallas_fused._attn_fwd) — saving them means the
                 # flash attention forward kernel runs once per step, never
@@ -149,6 +158,7 @@ class AudioUNet3D(nn.Module):
                 add_downsample=not is_final,
                 has_attention=btype in (DOWN_AUDIO, DOWN_TEXT),
                 use_audio=btype == DOWN_AUDIO,
+                fuse_blocks=self.fuse_blocks,
                 num_heads=num_heads, dtype=self.dtype,
                 name=f"down_blocks_{i}")
             x, residuals = block(x, emb, text_context, audio_context,
@@ -159,6 +169,7 @@ class AudioUNet3D(nn.Module):
         x = maybe_remat(MidBlock, level=len(cfg.block_out_channels) - 1)(
             channels=cfg.block_out_channels[-1], groups=cfg.norm_num_groups,
             eps=cfg.norm_eps, use_audio=cfg.mid_block_type == MID_AUDIO,
+            fuse_blocks=self.fuse_blocks,
             num_heads=num_heads, dtype=self.dtype, name="mid_block")(
             x, emb, text_context, audio_context, audio_mask,
             audio_token_indices)
@@ -179,6 +190,7 @@ class AudioUNet3D(nn.Module):
                 add_upsample=not is_final,
                 has_attention=btype in (UP_AUDIO, UP_TEXT),
                 use_audio=btype == UP_AUDIO,
+                fuse_blocks=self.fuse_blocks,
                 num_heads=num_heads, dtype=self.dtype,
                 name=f"up_blocks_{i}")
             x = block(x, skips, emb, text_context, audio_context,

@@ -298,11 +298,27 @@ class FFSpatialAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, ln=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, ln=None, prepare: bool = False):
         inner = self.num_heads * self.head_dim
         b, f, n, c = x.shape
         proj = MultiHeadProjections(inner, self.num_heads, q_in=c,
                                     dtype=self.dtype, name="proj")
+        if prepare:
+            # bundle for ops/pallas_fused.fused_ln_attn3 (whole-block
+            # fusion): frame-0 K/V pre-projected + lane-padded; returns
+            # ((ls, lb, wq, wo, bo, k, v), kv_len).  Touches every param
+            # the call path touches, so the tree is identical either way.
+            sk = -(-n // 128) * 128
+            h0 = ln(x[:, 0])
+            k0, v0 = proj.to_k(h0), proj.to_v(h0)
+            if sk != n:
+                pad = [(0, 0), (0, sk - n), (0, 0)]
+                k0, v0 = jnp.pad(k0, pad), jnp.pad(v0, pad)
+            return ((ln.scale[None], ln.bias[None],
+                     proj.to_q.kernel.astype(self.dtype),
+                     proj.to_out.kernel.astype(self.dtype),
+                     proj.to_out.bias[None].astype(self.dtype),
+                     k0, v0), (n if n < sk else None))
         if ln is None:
             return self._attend(x, proj)
 
@@ -366,12 +382,37 @@ class CrossAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None,
-                 context_indices=None, ln=None) -> jnp.ndarray:
+                 context_indices=None, ln=None, prepare: bool = False):
         inner = self.num_heads * self.head_dim
         b, f, n, c = x.shape
         proj = MultiHeadProjections(inner, self.num_heads, q_in=c,
                                     kv_dim=context.shape[-1],
                                     dtype=self.dtype, name="proj")
+        if prepare:
+            # bundle for ops/pallas_fused.fused_ln_attn3: K/V pre-projected,
+            # static-gathered per frame (audio, 4-D) or shared (text, 3-D),
+            # lane-padded; returns ((ls, lb, wq, wo, bo, k, v), kv_len)
+            if context_indices is not None:
+                idx = jnp.asarray(context_indices)
+                m_tok = int(idx.shape[1])
+                sk = -(-m_tok // 128) * 128
+                k = jnp.take(proj.to_k(context), idx, axis=1)  # (b,f,m,c)
+                v = jnp.take(proj.to_v(context), idx, axis=1)
+                pad = [(0, 0), (0, 0), (0, sk - m_tok), (0, 0)]
+                k, v = jnp.pad(k, pad), jnp.pad(v, pad)
+                kv_len = m_tok
+            else:
+                m_tok = int(context.shape[1])
+                sk = -(-m_tok // 128) * 128
+                pad = [(0, 0), (0, sk - m_tok), (0, 0)]
+                k = jnp.pad(proj.to_k(context), pad)
+                v = jnp.pad(proj.to_v(context), pad)
+                kv_len = m_tok if m_tok < sk else None
+            return ((ln.scale[None], ln.bias[None],
+                     proj.to_q.kernel.astype(self.dtype),
+                     proj.to_out.kernel.astype(self.dtype),
+                     proj.to_out.bias[None].astype(self.dtype),
+                     k, v), kv_len)
         if ln is None:
             return self._attend(x, context, mask, context_indices, proj)
 

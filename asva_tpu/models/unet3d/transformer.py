@@ -76,11 +76,21 @@ class GEGLUFeedForward(nn.Module):
 
 
 class SpatioAudioTempTransformerBlock(nn.Module):
-    """One BasicTransformerBlock on (b, f, n, c) spatial-token tensors."""
+    """One BasicTransformerBlock on (b, f, n, c) spatial-token tensors.
+
+    fuse_blocks=True (generation path): the first three residual
+    sub-layers (attn1 + audio-x + text-x) run as ONE Pallas program
+    (ops/pallas_fused.fused_ln_attn3) — the residual stream stays in VMEM
+    across them instead of round-tripping HBM between three kernels.
+    Param tree is identical either way (the prepare calls touch exactly
+    the parameters the sequential calls touch); training keeps the
+    sequential path whose per-sub-layer custom_vjp saves flash o/lse
+    residuals."""
     dim: int
     num_heads: int
     head_dim: int
     use_audio: bool = True
+    fuse_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -103,26 +113,64 @@ class SpatioAudioTempTransformerBlock(nn.Module):
         def ckpt(v):
             return checkpoint_name(v, "sublayer_x")
 
-        # 1. first-frame spatial attention (residual sub-layer; fused
-        #    LN+attn+residual Pallas kernel on TPU)
-        x = FFSpatialAttention(self.num_heads, self.head_dim,
-                               dtype=self.dtype, name="attn1")(
-            ckpt(x), ln=LayerNormParams(self.dim, name="norm1"))
+        attn1 = FFSpatialAttention(self.num_heads, self.head_dim,
+                                   dtype=self.dtype, name="attn1")
+        norm1 = LayerNormParams(self.dim, name="norm1")
 
-        # 2. audio cross-attention with per-frame segment mask
-        if self.use_audio:
-            x = CrossAttention(self.num_heads, self.head_dim,
-                               dtype=self.dtype, name="attn_audio")(
-                ckpt(x), audio_context, mask=audio_mask,
-                context_indices=audio_token_indices,
-                ln=LayerNormParams(self.dim, name="norm_audio"))
+        fused3 = None
+        if (self.fuse_blocks and self.use_audio
+                and text_context is not None and text_context.ndim == 3
+                and audio_context is not None and audio_context.ndim == 3
+                and audio_token_indices is not None
+                and self.num_heads * self.head_dim == self.dim):
+            from ...ops import pallas_fused
+            n = x.shape[2]
+            lane = lambda m: -(-m // 128) * 128  # noqa: E731
+            m_a = int(jnp.asarray(audio_token_indices).shape[1])
+            m_t = int(text_context.shape[1])
+            ok, bm, ph = pallas_fused.supports_attn3(
+                n, lane(n), lane(m_a), lane(m_t), self.dim, self.num_heads,
+                x.dtype)
+            if pallas_fused.enabled() and ok:
+                fused3 = (bm, ph)
 
-        # 3. text cross-attention
-        if text_context is not None:
-            x = CrossAttention(self.num_heads, self.head_dim,
-                               dtype=self.dtype, name="attn2")(
-                ckpt(x), text_context,
-                ln=LayerNormParams(self.dim, name="norm2"))
+        if fused3 is not None:
+            from ...ops import pallas_fused
+            norm_audio = LayerNormParams(self.dim, name="norm_audio")
+            norm2 = LayerNormParams(self.dim, name="norm2")
+            b1, kl1 = attn1(x, ln=norm1, prepare=True)
+            ba, kla = CrossAttention(self.num_heads, self.head_dim,
+                                     dtype=self.dtype, name="attn_audio")(
+                x, audio_context, mask=audio_mask,
+                context_indices=audio_token_indices, ln=norm_audio,
+                prepare=True)
+            bt, klt = CrossAttention(self.num_heads, self.head_dim,
+                                     dtype=self.dtype, name="attn2")(
+                x, text_context, ln=norm2, prepare=True)
+            bm, ph = fused3
+            x = pallas_fused.fused_ln_attn3(
+                x, *b1, *ba, *bt,
+                (norm1.epsilon, norm_audio.epsilon, norm2.epsilon),
+                self.num_heads, (kl1, kla, klt), bm, ph)
+        else:
+            # 1. first-frame spatial attention (residual sub-layer; fused
+            #    LN+attn+residual Pallas kernel on TPU)
+            x = attn1(ckpt(x), ln=norm1)
+
+            # 2. audio cross-attention with per-frame segment mask
+            if self.use_audio:
+                x = CrossAttention(self.num_heads, self.head_dim,
+                                   dtype=self.dtype, name="attn_audio")(
+                    ckpt(x), audio_context, mask=audio_mask,
+                    context_indices=audio_token_indices,
+                    ln=LayerNormParams(self.dim, name="norm_audio"))
+
+            # 3. text cross-attention
+            if text_context is not None:
+                x = CrossAttention(self.num_heads, self.head_dim,
+                                   dtype=self.dtype, name="attn2")(
+                    ckpt(x), text_context,
+                    ln=LayerNormParams(self.dim, name="norm2"))
 
         # 4. temporal attention (sinusoidal-MLP position added pre-norm only)
         pos = sinusoidal_timestep_embedding(
@@ -155,6 +203,7 @@ class SpatioAudioTempTransformer3D(nn.Module):
     num_layers: int = 1
     norm_num_groups: int = 32
     use_audio: bool = True
+    fuse_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -175,6 +224,7 @@ class SpatioAudioTempTransformer3D(nn.Module):
         for i in range(self.num_layers):
             h = SpatioAudioTempTransformerBlock(
                 inner, self.num_heads, self.head_dim, use_audio=self.use_audio,
+                fuse_blocks=self.fuse_blocks,
                 dtype=self.dtype, name=f"blocks_{i}")(
                 h, text_context, audio_context, audio_mask,
                 audio_token_indices)

@@ -239,20 +239,27 @@ def pad_heads_tokens(k, num_heads: int):
     return k3.reshape(k.shape[:-1] + (num_heads * dp,))
 
 
-def _attn_kernel(x_ref, ls_ref, lb_ref, wq_ref, wo_ref, bo_ref,
-                 k_ref, v_ref, o_ref, *, eps, num_heads, kv_len, scale):
-    x = x_ref[0]                                     # (TM, C)
+def _sublayer_attn(x, ls_ref, lb_ref, wq_ref, wo_ref, bo_ref, k, v, *,
+                   eps, num_heads, kv_len, scale, phased):
+    """One residual attention sub-layer on a VMEM tile:
+    x + Wo(MHA(Wq(LN(x)), k, v)) + bo, with x (TM, C), k/v (Sk, H*Dp).
+
+    phased=True runs PHASE-SPLIT: every head's QK^T logits are issued
+    first (back-to-back MXU work), then every head's softmax+PV.  The long
+    scheduling distance between a head's matmul and its (VPU-bound) softmax
+    lets Mosaic overlap the units — measured 0.894 -> 0.760 ms on the
+    chained level-0 attn1 (v5e, tools/attn_experiments.py; matmul-only
+    floor 0.649), BIT-EXACT vs the sequential order.  Costs H extra fp32
+    (TM, Sk) logit buffers of VMEM, so callers gate it."""
     xn = _ln_rows(x.astype(_F32), ls_ref[...].astype(_F32),
                   lb_ref[...].astype(_F32), eps).astype(x.dtype)
     q = jax.lax.dot_general(
         xn, wq_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=_F32).astype(x.dtype)  # (TM, H*Dp)
-    k = k_ref[0]                                     # (Sk, H*Dp)
-    v = v_ref[0]
     sk = k.shape[0]
     dp = q.shape[1] // num_heads
-    ctx = []
-    for h in range(num_heads):
+
+    def logits(h):
         sl = slice(h * dp, (h + 1) * dp)             # lane-aligned
         s = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
@@ -260,17 +267,36 @@ def _attn_kernel(x_ref, ls_ref, lb_ref, wq_ref, wo_ref, bo_ref,
         if kv_len is not None and kv_len < sk:
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(cols < kv_len, s, -1e9)
+        return s
+
+    def sm_pv(h, s):
+        sl = slice(h * dp, (h + 1) * dp)
         mx = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - mx)
         p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-        ctx.append(jax.lax.dot_general(
+        return jax.lax.dot_general(
             p, v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=_F32).astype(x.dtype))
+            preferred_element_type=_F32).astype(x.dtype)
+
+    if phased:
+        ss = [logits(h) for h in range(num_heads)]
+        ctx = [sm_pv(h, s) for h, s in enumerate(ss)]
+    else:
+        ctx = [sm_pv(h, logits(h)) for h in range(num_heads)]
     o = jnp.concatenate(ctx, axis=-1)                # (TM, H*Dp)
     y = jax.lax.dot_general(
         o, wo_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=_F32) + bo_ref[...].astype(_F32)
-    o_ref[0] = (x.astype(_F32) + y).astype(o_ref.dtype)
+    return (x.astype(_F32) + y).astype(x.dtype)
+
+
+def _attn_kernel(x_ref, ls_ref, lb_ref, wq_ref, wo_ref, bo_ref,
+                 k_ref, v_ref, o_ref, *, eps, num_heads, kv_len, scale,
+                 phased=False):
+    o_ref[0] = _sublayer_attn(
+        x_ref[0], ls_ref, lb_ref, wq_ref, wo_ref, bo_ref, k_ref[0], v_ref[0],
+        eps=eps, num_heads=num_heads, kv_len=kv_len, scale=scale,
+        phased=phased).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -285,9 +311,14 @@ def _ln_attn_flat(x, ls, lb, wq, wo, bo, k, v, eps, num_heads, kv_len,
     d = c // num_heads                               # true head dim
     scale = 1.0 / (d ** 0.5)
     grid = (g_, m // block_m)
+    itm = 2 if x.dtype == jnp.bfloat16 else 4
+    base_vmem = (2 * c * hdp + 2 * sk * hdp + 3 * block_m * c
+                 + 2 * block_m * hdp) * itm
+    phased = (base_vmem + num_heads * block_m * sk * 4
+              < 13 * 1024 * 1024)
     return pl.pallas_call(
         functools.partial(_attn_kernel, eps=eps, num_heads=num_heads,
-                          kv_len=kv_len, scale=scale),
+                          kv_len=kv_len, scale=scale, phased=phased),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=grid,
         in_specs=[
@@ -412,6 +443,161 @@ def _attn_bwd(eps, num_heads, kv_len, block_m, res, g):
 
 
 fused_ln_attn.defvjp(_attn_fwd, _attn_bwd)
+
+
+# --------------------------------------------------------------------------
+# fused 3-sublayer transformer-block prefix:
+#   x = x + Attn1(LN(x))        frame-0-KV spatial self-attention
+#   x = x + AudioX(LN(x))       audio cross-attention (gathered per-frame KV)
+#   x = x + TextX(LN(x))        text cross-attention
+# one pallas_call per block — the residual stream stays in VMEM across all
+# three sub-layers instead of round-tripping HBM between kernels (the
+# sub-layer order is the reference's
+# ff_spatio_audio_temp_transformer_3d.py:278-372; temporal attention and
+# the GEGLU FF follow outside).  All K/V are pre-projected outside exactly
+# as for fused_ln_attn.  GENERATION path only: when differentiated it
+# falls back to jax.vjp over the XLA reference composite (training keeps
+# the per-sub-layer kernels whose custom_vjp saves o/lse flash residuals).
+# --------------------------------------------------------------------------
+
+def _attn3_kernel(x_ref,
+                  ls1_ref, lb1_ref, wq1_ref, wo1_ref, bo1_ref, k1_ref, v1_ref,
+                  lsa_ref, lba_ref, wqa_ref, woa_ref, boa_ref, ka_ref, va_ref,
+                  lst_ref, lbt_ref, wqt_ref, wot_ref, bot_ref, kt_ref, vt_ref,
+                  o_ref, *, eps3, num_heads, kv_lens, scale, phased3):
+    x = x_ref[0, 0]                                   # (TM, C)
+    x = _sublayer_attn(x, ls1_ref, lb1_ref, wq1_ref, wo1_ref, bo1_ref,
+                       k1_ref[0], v1_ref[0], eps=eps3[0],
+                       num_heads=num_heads, kv_len=kv_lens[0], scale=scale,
+                       phased=phased3[0])
+    x = _sublayer_attn(x, lsa_ref, lba_ref, wqa_ref, woa_ref, boa_ref,
+                       ka_ref[0, 0], va_ref[0, 0], eps=eps3[1],
+                       num_heads=num_heads, kv_len=kv_lens[1], scale=scale,
+                       phased=phased3[1])
+    x = _sublayer_attn(x, lst_ref, lbt_ref, wqt_ref, wot_ref, bot_ref,
+                       kt_ref[0], vt_ref[0], eps=eps3[2],
+                       num_heads=num_heads, kv_len=kv_lens[2], scale=scale,
+                       phased=phased3[2])
+    o_ref[0, 0] = x.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps3", "num_heads", "kv_lens",
+                                    "block_m", "phased3"))
+def _ln_attn3_flat(x, ls1, lb1, wq1, wo1, bo1, k1, v1,
+                   lsa, lba, wqa, woa, boa, ka, va,
+                   lst, lbt, wqt, wot, bot, kt, vt,
+                   eps3, num_heads, kv_lens, block_m, phased3):
+    """x (B, F, N, C); k1/v1 (B, Sk1, HDp) frame-0 KV per batch item;
+    ka/va (B, F, Ska, HDp) gathered audio KV per (batch, frame);
+    kt/vt (B, Skt, HDp) text KV per batch item."""
+    b, f, n, c = x.shape
+    sk1, ska, skt = k1.shape[1], ka.shape[2], kt.shape[1]
+    d = c // num_heads
+    scale = 1.0 / (d ** 0.5)
+    grid = (b, f, n // block_m)
+
+    def vec():
+        return pl.BlockSpec((1, c), lambda b_, f_, i: (0, 0))
+
+    def mat(w):
+        return pl.BlockSpec(w.shape, lambda b_, f_, i: (0, 0))
+
+    def per_b(w):
+        return pl.BlockSpec((1,) + w.shape[1:], lambda b_, f_, i: (b_, 0, 0))
+
+    def per_bf(w):
+        return pl.BlockSpec((1, 1) + w.shape[2:],
+                            lambda b_, f_, i: (b_, f_, 0, 0))
+
+    tile = pl.BlockSpec((1, 1, block_m, c), lambda b_, f_, i: (b_, f_, i, 0))
+    return pl.pallas_call(
+        functools.partial(_attn3_kernel, eps3=eps3, num_heads=num_heads,
+                          kv_lens=kv_lens, scale=scale, phased3=phased3),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=[
+            tile,
+            vec(), vec(), mat(wq1), mat(wo1), vec(), per_b(k1), per_b(v1),
+            vec(), vec(), mat(wqa), mat(woa), vec(), per_bf(ka), per_bf(va),
+            vec(), vec(), mat(wqt), mat(wot), vec(), per_b(kt), per_b(vt),
+        ],
+        out_specs=tile,
+    )(x, ls1, lb1, wq1, wo1, bo1, k1, v1,
+      lsa, lba, wqa, woa, boa, ka, va,
+      lst, lbt, wqt, wot, bot, kt, vt)
+
+
+def _ln_attn3_reference(x, ls1, lb1, wq1, wo1, bo1, k1, v1,
+                        lsa, lba, wqa, woa, boa, ka, va,
+                        lst, lbt, wqt, wot, bot, kt, vt,
+                        eps3, num_heads, kv_lens):
+    b, f, n, c = x.shape
+    h = _ln_attn_reference(x.reshape(b, f * n, c), ls1, lb1, wq1, wo1, bo1,
+                           k1, v1, eps3[0], num_heads, kv_lens[0])
+    h = _ln_attn_reference(h.reshape(b * f, n, c), lsa, lba, wqa, woa, boa,
+                           ka.reshape((b * f,) + ka.shape[2:]),
+                           va.reshape((b * f,) + va.shape[2:]),
+                           eps3[1], num_heads, kv_lens[1])
+    h = _ln_attn_reference(h.reshape(b, f * n, c), lst, lbt, wqt, wot, bot,
+                           kt, vt, eps3[2], num_heads, kv_lens[2])
+    return h.reshape(b, f, n, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(22, 23, 24, 25, 26))
+def fused_ln_attn3(x, ls1, lb1, wq1, wo1, bo1, k1, v1,
+                   lsa, lba, wqa, woa, boa, ka, va,
+                   lst, lbt, wqt, wot, bot, kt, vt,
+                   eps3, num_heads: int, kv_lens, block_m: int, phased3):
+    return _ln_attn3_flat(x, ls1, lb1, wq1, wo1, bo1, k1, v1,
+                          lsa, lba, wqa, woa, boa, ka, va,
+                          lst, lbt, wqt, wot, bot, kt, vt,
+                          eps3, num_heads, kv_lens, block_m, phased3)
+
+
+def _attn3_fwd(x, *args_and_statics):
+    args = args_and_statics[:21]
+    eps3, num_heads, kv_lens, block_m, phased3 = args_and_statics[21:]
+    out = _ln_attn3_flat(x, *args, eps3, num_heads, kv_lens, block_m,
+                         phased3)
+    return out, (x,) + args
+
+
+def _attn3_bwd(eps3, num_heads, kv_lens, block_m, phased3, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _ln_attn3_reference(*a, eps3, num_heads, kv_lens), *res)
+    return vjp(g)
+
+
+fused_ln_attn3.defvjp(_attn3_fwd, _attn3_bwd)
+
+
+def supports_attn3(n: int, sk1: int, ska: int, skt: int, c: int,
+                   num_heads: int, dtype) -> tuple:
+    """(ok, block_m, phased3) gate for fused_ln_attn3 (native narrow-head
+    layout, hdp == c).  Candidates are ordered by measured preference on
+    v5e (tools/attn3_bench.py); the VMEM model mirrors supports_attn plus
+    the two extra sub-layers' weights/KV/logits."""
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False, 0, ()
+    if c % num_heads != 0 or any(s % 128 != 0 for s in (sk1, ska, skt)):
+        return False, 0, ()
+    itm = 2 if dtype == jnp.bfloat16 else 4
+    base = 6 * c * c * itm + 2 * (sk1 + ska + skt) * c * itm
+    # measured on v5e level-0 shapes (tools/attn3_bench.py, chained):
+    # (512,seq) 1.904 ~= (256,phased) 1.917 < chain-of-3 1.993 <
+    # (256,seq) 2.172 < (128,phased) 2.204 — prefer (512,seq), whose
+    # VMEM estimate is also the safest of the two winners
+    for block_m, ph1 in ((512, False), (256, True), (512, True),
+                         (256, False), (128, True), (128, False)):
+        if block_m > n or n % block_m != 0:
+            continue
+        tiles = 7 * block_m * c * itm
+        logits = ((num_heads if ph1 else 1) * sk1
+                  + num_heads * (ska + skt)) * block_m * 4
+        if base + tiles + logits < 12.5 * 1024 * 1024:
+            return True, block_m, (ph1, True, True)
+    return False, 0, ()
 
 
 # --------------------------------------------------------------------------

@@ -177,6 +177,10 @@ class AnimationPipeline:
         do_text = text_gs > 1.0
         do_audio = audio_gs > 1.0
         sl = slice(1, None)  # frame-0 pinned
+        # generation path: fuse attn1+audio-x+text-x per transformer block
+        # into one Pallas program (VMEM-resident residual stream); same
+        # param tree, so unet_params pass through unchanged
+        unet = self.unet.clone(fuse_blocks=True)
 
         def program(unet_params, latents, text_ctx, null_text_ctx,
                     audio_ctx, null_audio_ctx, audio_token_indices):
@@ -216,8 +220,8 @@ class AnimationPipeline:
             def body(state, row):
                 x = jnp.concatenate([self._seq_constraint(state.latents)] * k)
                 t = jnp.broadcast_to(row["t_model"], (k * b,))
-                eps = self.unet.apply(unet_params, x, t, text_stack,
-                                      audio_stack, None, audio_token_indices)
+                eps = unet.apply(unet_params, x, t, text_stack,
+                                 audio_stack, None, audio_token_indices)
                 if do_text and do_audio:
                     e_u, e_t, e_ta = jnp.split(eps, 3)
                     eps = e_u + text_gs * (e_t - e_u) + audio_gs * (e_ta - e_t)

@@ -82,7 +82,8 @@ def bench_train():
         elif a.startswith("--batch="):
             B = int(a.split("=", 1)[1])
     policy = "saveconv"
-    for p in ("dots", "highres", "full", "l0", "none", "saveconv"):
+    for p in ("dots", "highres", "full", "l0", "none", "saveconv",
+              "saveconv0"):
         if f"--remat_{p}" in sys.argv:
             policy = p
     unet = AudioUNet3D(UNet3DConfig(remat=policy != "none",

@@ -353,3 +353,98 @@ def test_transformer_block_fused_grads_match(rng, monkeypatch):
     close(gx_fused, gx_ref)
     for a, b_ in zip(jax.tree.leaves(gp_fused), jax.tree.leaves(gp_ref)):
         close(a, b_)
+
+
+# ---------------------------------------------------------------------------
+# fused 3-sublayer block prefix (attn1 + audio-x + text-x in one program)
+# ---------------------------------------------------------------------------
+
+def _attn3_args(rng, b=2, f=3, n=256, c=64, ma=128, mt=128,
+                dtype=jnp.float32):
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.05, dtype)
+
+    def sub():
+        return (r(1, c) + 1.0, r(1, c), r(c, c), r(c, c), r(1, c))
+
+    x = r(b, f, n, c)
+    k1, v1 = r(b, n, c), r(b, n, c)          # sk1 == n (lane multiple)
+    ka, va = r(b, f, ma, c), r(b, f, ma, c)  # gathered per-frame audio KV
+    kt, vt = r(b, mt, c), r(b, mt, c)        # shared text KV
+    return (x, *sub(), k1, v1, *sub(), ka, va, *sub(), kt, vt)
+
+
+def test_attn3_kernel_matches_reference(rng):
+    from asva_tpu.ops.pallas_fused import _ln_attn3_reference, fused_ln_attn3
+    args = _attn3_args(rng)
+    eps3, kv_lens = (1e-5, 1e-5, 1e-5), (None, 25, 77)
+    with pltpu.force_tpu_interpret_mode():
+        o1 = fused_ln_attn3(*args, eps3, 4, kv_lens, 128,
+                            (True, True, True))
+    o2 = _ln_attn3_reference(*args, eps3, 4, kv_lens)
+    assert o1.shape == args[0].shape
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_attn3_phase_flags_equivalent(rng):
+    """Sequential vs phased per-head ordering is bit-identical."""
+    from asva_tpu.ops.pallas_fused import fused_ln_attn3
+    args = _attn3_args(rng, b=1, f=2)
+    eps3, kv_lens = (1e-5, 1e-5, 1e-5), (None, 25, 77)
+    with pltpu.force_tpu_interpret_mode():
+        o1 = fused_ln_attn3(*args, eps3, 4, kv_lens, 128,
+                            (True, True, True))
+        o2 = fused_ln_attn3(*args, eps3, 4, kv_lens, 128,
+                            (False, False, False))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_attn3_vjp_falls_back(rng):
+    from asva_tpu.ops.pallas_fused import _ln_attn3_reference, fused_ln_attn3
+    args = _attn3_args(rng, b=1, f=2, n=128)
+    eps3, kv_lens = (1e-5, 1e-5, 1e-5), (None, 25, 77)
+
+    def loss_k(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_ln_attn3(*a, eps3, 4, kv_lens, 128,
+                                          (True, True, True)) ** 2)
+
+    def loss_r(*a):
+        return jnp.sum(_ln_attn3_reference(*a, eps3, 4, kv_lens) ** 2)
+
+    g1 = jax.grad(loss_k, argnums=(0, 6, 7))(*args)
+    g2 = jax.grad(loss_r, argnums=(0, 6, 7))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_block_fused3_matches_sequential(rng, monkeypatch):
+    """fuse_blocks=True (one attn3 program) == the sequential sub-layer
+    path, same params; and the param trees are identical."""
+    import asva_tpu.ops.pallas_fused as pf
+    from asva_tpu.models.imagebind_audio import segment_token_indices
+    from asva_tpu.models.unet3d.transformer import (
+        SpatioAudioTempTransformerBlock)
+
+    b, f, n, c, heads = 1, 4, 256, 320, 8
+    blk_seq = SpatioAudioTempTransformerBlock(c, heads, c // heads)
+    blk_fused = SpatioAudioTempTransformerBlock(c, heads, c // heads,
+                                                fuse_blocks=True)
+    x = jnp.asarray(rng.standard_normal((b, f, n, c)) * 0.1, jnp.float32)
+    text = jnp.asarray(rng.standard_normal((b, 77, 768)) * 0.1, jnp.float32)
+    audio = jnp.asarray(rng.standard_normal((b, 229, 768)) * 0.1,
+                        jnp.float32)
+    idx = jnp.asarray(segment_token_indices(f, (12, 19)))
+    params = blk_seq.init(jax.random.PRNGKey(0), x, text, audio, None, idx)
+
+    monkeypatch.setattr(pf, "FORCE", True)
+    with pltpu.force_tpu_interpret_mode():
+        params_fused = blk_fused.init(jax.random.PRNGKey(0), x, text, audio,
+                                      None, idx)
+        o_seq = blk_seq.apply(params, x, text, audio, None, idx)
+        o_fused = blk_fused.apply(params, x, text, audio, None, idx)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_fused))
+    np.testing.assert_allclose(np.asarray(o_fused), np.asarray(o_seq),
+                               atol=2e-5, rtol=2e-5)

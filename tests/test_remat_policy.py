@@ -83,3 +83,13 @@ def test_saveconv_matches_highres_numerics(rng):
                     jax.tree.leaves(outs["highres"][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    rtol=1e-5)
+
+
+def test_saveconv0_between_saveconv_and_highres():
+    """Mixed policy: level 0 named-saves (fewer bwd convs than highres's
+    full recompute), level 1 fully remats (more bwd convs than saveconv,
+    which saves level 1's too) — and numerics match saveconv exactly."""
+    _, save_bwd = _conv_counts("saveconv")
+    _, mixed_bwd = _conv_counts("saveconv0")
+    _, high_bwd = _conv_counts("highres")
+    assert save_bwd < mixed_bwd < high_bwd, (save_bwd, mixed_bwd, high_bwd)
