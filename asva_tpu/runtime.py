@@ -189,6 +189,37 @@ def init_avsync_from_avid_cma(variables, path: str,
     return variables, report
 
 
+def build_i3d_classifier(num_classes: int = 400,
+                         weights_path: Optional[str] = None,
+                         bn_eps: float = 1e-5):
+    """The classifier-head I3D variant (reference
+    avgen/evaluations/models/download.py:58-70 load_i3d_pretrained_classifier
+    + pytorch_i3d.py:351 InceptionI3d_Classifier): same Inception-v1 I3D
+    trunk as the FVD feature net, loaded from a raw `i3d_pretrained_400.pt`
+    state dict; when num_classes != 400 the 400-way logits head is dropped
+    and stays freshly initialized (the reference pops logits.conv3d.* and
+    loads non-strict).  Returns (model, variables, report|None)."""
+    from .convert import i3d_key_map
+    from .models.evalnets import InceptionI3D
+
+    model = InceptionI3D(num_classes=num_classes, bn_eps=bn_eps)
+    variables = _init_params(model, jnp.zeros((1, 12, 224, 224, 3)))
+    report = None
+    if weights_path and os.path.isfile(weights_path):
+        state = load_torch_state(weights_path)
+        if num_classes != 400:
+            state.pop("logits.conv3d.weight", None)
+            state.pop("logits.conv3d.bias", None)
+        variables, report = convert_state_dict(dict(variables), state,
+                                               i3d_key_map)
+        log.info("i3d_classifier: converted %d tensors (%d fresh, "
+                 "%d unused) from %s", len(report["converted"]),
+                 len(report["fresh"]), len(report["unused"]), weights_path)
+    elif weights_path:
+        log.warning("i3d_classifier: %s missing — random init", weights_path)
+    return model, variables, report
+
+
 def load_null_text_encoding(path: Optional[str]):
     if path and not os.path.isfile(path):
         # tools/make_null_text_encoding.py writes .npy while the reference

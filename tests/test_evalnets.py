@@ -55,3 +55,30 @@ def test_imagebind_vision_text_tiny(rng):
     assert temb.shape == (2, 16)
     np.testing.assert_allclose(np.asarray(jnp.linalg.norm(temb, axis=-1)),
                                1.0, rtol=1e-5)
+
+
+def test_i3d_classifier_variant(tmp_path, rng):
+    """build_i3d_classifier == the reference's load_i3d_pretrained_classifier
+    semantics (download.py:58-70): raw i3d_pretrained_400.pt state loads
+    0-fresh/0-unused at 400 classes; at num_classes != 400 the logits head
+    is dropped and stays fresh (reference pops logits.conv3d.*)."""
+    import torch
+
+    from asva_tpu.runtime import build_i3d_classifier
+    from tools.torch_eval_nets import make_reference_i3d
+
+    path = str(tmp_path / "i3d_pretrained_400.pt")
+    torch.save(make_reference_i3d(seed=3).state_dict(), path)
+
+    def real_unused(report):  # BN bookkeeping buffers have no flax home
+        return [k for k in report["unused"]
+                if "num_batches_tracked" not in k]
+
+    _, _, report = build_i3d_classifier(400, path)
+    assert not report["fresh"], report["fresh"][:5]
+    assert not real_unused(report), real_unused(report)[:5]
+
+    _, _, report = build_i3d_classifier(10, path)
+    assert all("logits" in k for k in report["fresh"]), report["fresh"][:5]
+    assert len(report["fresh"]) == 2
+    assert not real_unused(report)
