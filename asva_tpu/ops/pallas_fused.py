@@ -584,10 +584,15 @@ def supports_attn3(n: int, sk1: int, ska: int, skt: int, c: int,
         return False, 0, ()
     itm = 2 if dtype == jnp.bfloat16 else 4
     base = 6 * c * c * itm + 2 * (sk1 + ska + skt) * c * itm
-    # measured on v5e level-0 shapes (tools/attn3_bench.py, chained):
-    # (512,seq) 1.904 ~= (256,phased) 1.917 < chain-of-3 1.993 <
-    # (256,seq) 2.172 < (128,phased) 2.204 — prefer (512,seq), whose
-    # VMEM estimate is also the safest of the two winners
+    # measured on v5e (tools/attn3_bench.py, chained, net of carry):
+    # level-0 (c=320, n=1024): (512,seq) 1.347 ~= (256,phased) 1.360 <
+    #   chain-of-3 1.436 < (256,seq) 1.615 < (128,phased) 1.647
+    # level-1 (c=640, n=256):  (256,phased) 0.323 < chain 0.345 <
+    #   (256,seq) 0.365 < (128,phased) 0.428
+    # prefer (512,seq) then (256,phased); the 14.5 MB budget admits
+    # level-1's (256,phased) estimate (12.7 MB; compiles at ~13 real
+    # vs the 16 MB scoped limit) while still rejecting the level-0
+    # (512,phased) config that genuinely OOMs (~21 MB)
     for block_m, ph1 in ((512, False), (256, True), (512, True),
                          (256, False), (128, True), (128, False)):
         if block_m > n or n % block_m != 0:
@@ -595,7 +600,7 @@ def supports_attn3(n: int, sk1: int, ska: int, skt: int, c: int,
         tiles = 7 * block_m * c * itm
         logits = ((num_heads if ph1 else 1) * sk1
                   + num_heads * (ska + skt)) * block_m * 4
-        if base + tiles + logits < 12.5 * 1024 * 1024:
+        if base + tiles + logits < 14.5 * 1024 * 1024:
             return True, block_m, (ph1, True, True)
     return False, 0, ()
 

@@ -52,7 +52,9 @@ def main():
     r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.05, DT)
     print(f"device: {jax.devices()[0]}  (N={N})", flush=True)
 
-    b, f, n, c, H = 2, 12, 1024, 320, 8
+    b, f, n, c, H = 2, 12, 1024, 320, 8      # level-0 eval shapes
+    if "--level1" in sys.argv:
+        n, c = 256, 640
     ma, mt = 25, 77
     ska, skt = 128, 128
     x = r(b, f, n, c)
@@ -93,6 +95,10 @@ def main():
 
     for bm, ph1 in ((256, False), (128, True), (256, True), (512, False),
                     (128, False)):
+        if bm > n:     # grid n//bm == 0 -> zero programs, bogus timing
+            print(f"fused_ln_attn3 bm{bm} ph1={int(ph1)}: skipped (bm > n)",
+                  flush=True)
+            continue
         timeit(f"fused_ln_attn3 bm{bm} ph1={int(ph1)}",
                lambda x_, *a, _bm=bm, _p=ph1: pf.fused_ln_attn3(
                    x_, *a, EPS3, H, (None, ma, mt), _bm, (_p, True, True)),

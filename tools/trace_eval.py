@@ -45,7 +45,9 @@ def _eval_step(B, F, DT):
     from asva_tpu.models.unet3d import AudioUNet3D, UNet3DConfig
     from __graft_entry__ import _materialize
 
-    unet = AudioUNet3D(UNet3DConfig(), dtype=DT)
+    # fuse_blocks matches the shipped generation path (pipelines/animation)
+    unet = AudioUNet3D(UNet3DConfig(), dtype=DT,
+                       fuse_blocks="--no_fuse" not in sys.argv)
     rng = np.random.default_rng(0)
     sample = jnp.asarray(rng.standard_normal((B, F, 32, 32, 4)) * 0.1, DT)
     t = jnp.zeros((B,), jnp.int32)
