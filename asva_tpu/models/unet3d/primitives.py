@@ -502,6 +502,23 @@ class CrossAttention(nn.Module):
         return proj.to_out(proj.merge(out))
 
 
+# pair-loop gate for TemporalAttention: head dims <= this use the unrolled
+# per-(f,g) multiply+reduce form instead of the bnhfg einsum (see the
+# in-class comment).  Module-level so tools/temporal_gate_bench.py can
+# probe the frontier on real hardware.  r2 shipped 64 (level 0 only); the
+# r5 whole-module chained probe (v5e, net of carry) shows the FORWARD
+# pair loop wins at EVERY UNet level: L1 c640 1.137 -> 0.881 ms (-22%),
+# L2 c1280 1.402 -> 1.024 ms (-27%) — the original "level-2 prefers
+# einsum" read predated the narrow-head/channels-last layout work.
+# Measured e2e (v5e): generation 0.8456 -> 0.8674 clips/s with the wide
+# gate, but TRAINING regresses 2.4343 -> 2.3874 steps/s (the 144-op
+# unroll's vjp + remat recompute fuse worse than the einsum backward in
+# the big bwd program) — so the wide gate rides the generation-only
+# fuse_blocks flag (pairloop_max_d field below) and the default stays 64.
+TEMPORAL_PAIRLOOP_MAX_D = 64
+TEMPORAL_PAIRLOOP_MAX_D_GEN = 160
+
+
 class TemporalAttention(nn.Module):
     """Self-attention over the frame axis for each spatial location.
 
@@ -512,6 +529,10 @@ class TemporalAttention(nn.Module):
     """
     num_heads: int
     head_dim: int
+    # None: the module default (TEMPORAL_PAIRLOOP_MAX_D); the transformer
+    # block passes TEMPORAL_PAIRLOOP_MAX_D_GEN on the fuse_blocks
+    # (generation-only) path where the wide pair loop is a measured win
+    pairloop_max_d: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -530,14 +551,17 @@ class TemporalAttention(nn.Module):
         k = to_k(x).reshape(x.shape[:-1] + hd)
         v = to_v(x).reshape(x.shape[:-1] + hd)
         scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, jnp.float32))
-        if f <= 16 and self.head_dim <= 64:
+        max_d = (TEMPORAL_PAIRLOOP_MAX_D if self.pairloop_max_d is None
+                 else self.pairloop_max_d)
+        if f <= 16 and self.head_dim <= max_d:
             # unrolled per-(f,g) fused multiply + lane-reduce.  The einsum
             # form lowers to b*n*h batched (f x d)@(d x f) matmuls — tiny
-            # 12x12x40 tiles that waste >90% of the MXU/VPU lanes and force
+            # 12x12xd tiles that waste >90% of the MXU/VPU lanes and force
             # operand transposes; the pair loop reads the same bytes with
-            # plain elementwise ops (measured in-module on v5e: level-0
-            # transformer 5.07 -> 3.35 ms, level-1 1.98 -> 1.72; level-2's
-            # head_dim 160 prefers the einsum, hence the d<=64 gate).
+            # plain elementwise ops (whole-module chained on v5e, net of
+            # carry: L0 in r2 5.07 -> 3.35 ms; r5 re-probe L1 c640
+            # 1.137 -> 0.881, L2 c1280 1.402 -> 1.024 — see the gate
+            # constant note and tools/temporal_gate_bench.py).
             # PV is per-frame f-term weighted sums in the native layout.
             logits = jnp.stack([
                 jnp.stack([

@@ -24,8 +24,8 @@ from flax import linen as nn
 from ...ops.norms import (AdaptiveOrLayerNorm, LayerNormParams,
                           SpatialGroupNorm)
 from ..embeddings import TimestepEmbedding, sinusoidal_timestep_embedding
-from .primitives import (CrossAttention, DenseParams, FFSpatialAttention,
-                         TemporalAttention)
+from .primitives import (TEMPORAL_PAIRLOOP_MAX_D_GEN, CrossAttention,
+                         DenseParams, FFSpatialAttention, TemporalAttention)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -181,7 +181,13 @@ class SpatioAudioTempTransformerBlock(nn.Module):
         pos = pos[None, :, None, :]  # (1, f, 1, c)
         x = ckpt(x)
         h = AdaptiveOrLayerNorm(name="norm_temp")(x + pos)
+        # fuse_blocks marks the generation path, where the wide pair-loop
+        # gate is a measured win (training prefers einsum at d>64 — see
+        # primitives.TEMPORAL_PAIRLOOP_MAX_D)
         x = x + TemporalAttention(self.num_heads, self.head_dim,
+                                  pairloop_max_d=(TEMPORAL_PAIRLOOP_MAX_D_GEN
+                                                  if self.fuse_blocks
+                                                  else None),
                                   dtype=self.dtype, name="attn_temp")(h)
 
         # 5. feed-forward (residual sub-layer; fused LN+GEGLU+residual

@@ -212,3 +212,26 @@ def test_upsample_conv_decomposition_equivalence(rng):
     np.testing.assert_allclose(
         np.asarray(naive.apply(v2, x)), np.asarray(fast.apply(v2, x)),
         atol=2e-6, rtol=2e-6)
+
+
+def test_temporal_pairloop_matches_einsum(rng):
+    """The unrolled per-(f,g) pair-loop form == the bnhfg einsum form with
+    the SAME params, at every UNet level's head dim (40/80/160 — the
+    pairloop_max_d gate decides which levels ship the pair loop per path;
+    both forms must stay interchangeable at any d)."""
+    from asva_tpu.models.unet3d.primitives import TemporalAttention
+
+    for heads, d in ((8, 40), (8, 80), (8, 160)):
+        x = jnp.asarray(rng.standard_normal((2, 5, 16, heads * d)) * 0.1,
+                        jnp.float32)
+        mod_pair = TemporalAttention(heads, d, pairloop_max_d=d)
+        mod_ein = TemporalAttention(heads, d, pairloop_max_d=0)
+        variables = mod_ein.init(jax.random.PRNGKey(0), x)
+        variables = jax.tree.map(
+            lambda p: p + 0.02 * np.arange(p.size, dtype=np.float32
+                                           ).reshape(p.shape) % 0.1,
+            variables)
+        pair = mod_pair.apply(variables, x)   # identical param tree
+        ein = mod_ein.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(pair), np.asarray(ein),
+                                   atol=2e-5, rtol=2e-5)
