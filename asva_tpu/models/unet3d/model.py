@@ -140,8 +140,11 @@ class AudioUNet3D(nn.Module):
                 # (ops/pallas_fused._attn_fwd) — saving them means the
                 # flash attention forward kernel runs once per step, never
                 # in the remat recompute or the sub-layer's own backward
+                # "block_out": transformer-block outputs (see
+                # transformer.py) — skips the FF fused-forward kernel
+                # re-runs in the recompute for ~240 MB of extra saves
                 policy = jax.checkpoint_policies.save_only_these_names(
-                    "conv_out", "sublayer_x", "attn_res")
+                    "conv_out", "sublayer_x", "attn_res", "block_out")
                 return nn.remat(cls_, policy=policy)
             return nn.remat(cls_)
 

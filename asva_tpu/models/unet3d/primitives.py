@@ -13,6 +13,8 @@ Reference semantics (avgen/models/unets/utils.py):
 """
 from __future__ import annotations
 
+import functools
+import os
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -511,12 +513,71 @@ class CrossAttention(nn.Module):
 # L2 c1280 1.402 -> 1.024 ms (-27%) — the original "level-2 prefers
 # einsum" read predated the narrow-head/channels-last layout work.
 # Measured e2e (v5e): generation 0.8456 -> 0.8674 clips/s with the wide
-# gate, but TRAINING regresses 2.4343 -> 2.3874 steps/s (the 144-op
-# unroll's vjp + remat recompute fuse worse than the einsum backward in
-# the big bwd program) — so the wide gate rides the generation-only
-# fuse_blocks flag (pairloop_max_d field below) and the default stays 64.
-TEMPORAL_PAIRLOOP_MAX_D = 64
+# gate, but TRAINING regresses with the wide pair loop in EITHER backward
+# form — 2.4343 -> 2.3874 steps/s with the unrolled form autodiffed, and
+# 2.4529 -> 2.3229 with the hybrid custom_vjp below (pair-loop forward,
+# einsum backward): the "remat recompute DCEs the dead pair-loop output"
+# hypothesis does NOT hold in the real saveconv program, so training pays
+# the pair-loop forward twice plus the einsum vjp.  MEASURED DEAD END
+# (don't redo); the wide gate stays generation-only (fuse_blocks passes
+# TEMPORAL_PAIRLOOP_MAX_D_GEN) and the training default stays 64.
+TEMPORAL_PAIRLOOP_MAX_D = int(
+    os.environ.get("ASVA_TEMPORAL_PAIRLOOP_MAX_D", 64))
 TEMPORAL_PAIRLOOP_MAX_D_GEN = 160
+# head dims <= this keep plain autodiff through the unrolled form (the r2
+# measured-good configuration at level 0); above it the hybrid fwd/bwd
+# split applies (reached only on the generation-only wide gate, where the
+# backward never runs — kept so a differentiated wide pair loop gets the
+# einsum gradient rather than the slower unrolled vjp).  Env overrides
+# are for on-chip probes only.
+TEMPORAL_HYBRID_MIN_D = int(os.environ.get("ASVA_TEMPORAL_HYBRID_MIN_D", 64))
+
+
+def _temporal_pairloop(q, k, v, scale: float):
+    """Frame-axis attention, unrolled per-(f,g) multiply + lane-reduce form.
+    q/k/v (b, f, n, h, d) -> out (b, f, n, h, d) in q.dtype."""
+    f = q.shape[1]
+    logits = jnp.stack([
+        jnp.stack([
+            jnp.sum(q[:, fi].astype(jnp.float32)
+                    * k[:, gi].astype(jnp.float32), axis=-1)
+            for gi in range(f)], axis=-1)
+        for fi in range(f)], axis=-2)                # (b, n, h, f, g) fp32
+    w = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
+    return jnp.stack([
+        sum(w[..., fi, gi, None] * v[:, gi] for gi in range(f))
+        for fi in range(f)], axis=1).astype(q.dtype)  # (b, f, n, h, d)
+
+
+def _temporal_einsum(q, k, v, scale: float):
+    """The bnhfg einsum form of the same function."""
+    logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bnhfg,bgnhd->bfnhd", w, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _temporal_attn_hybrid(q, k, v, scale: float):
+    """Pair-loop forward (fastest measured form at every UNet level) with
+    the einsum form's vjp as the backward — the unrolled form's autodiff
+    was the measured training regression at d > 64 (see gate note)."""
+    return _temporal_pairloop(q, k, v, scale)
+
+
+def _temporal_hybrid_fwd(q, k, v, scale):
+    return _temporal_pairloop(q, k, v, scale), (q, k, v)
+
+
+def _temporal_hybrid_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _temporal_einsum(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+_temporal_attn_hybrid.defvjp(_temporal_hybrid_fwd, _temporal_hybrid_bwd)
 
 
 class TemporalAttention(nn.Module):
@@ -550,7 +611,10 @@ class TemporalAttention(nn.Module):
         q = to_q(x).reshape(x.shape[:-1] + hd)   # (b, f, n, h, d)
         k = to_k(x).reshape(x.shape[:-1] + hd)
         v = to_v(x).reshape(x.shape[:-1] + hd)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, jnp.float32))
+        # python-float scale computed with fp32 sqrt/divide semantics so the
+        # weak-typed multiply is bit-identical to the previous on-device
+        # fp32 scalar
+        scale = float(np.float32(1.0) / np.sqrt(np.float32(self.head_dim)))
         max_d = (TEMPORAL_PAIRLOOP_MAX_D if self.pairloop_max_d is None
                  else self.pairloop_max_d)
         if f <= 16 and self.head_dim <= max_d:
@@ -561,24 +625,14 @@ class TemporalAttention(nn.Module):
             # plain elementwise ops (whole-module chained on v5e, net of
             # carry: L0 in r2 5.07 -> 3.35 ms; r5 re-probe L1 c640
             # 1.137 -> 0.881, L2 c1280 1.402 -> 1.024 — see the gate
-            # constant note and tools/temporal_gate_bench.py).
-            # PV is per-frame f-term weighted sums in the native layout.
-            logits = jnp.stack([
-                jnp.stack([
-                    jnp.sum(q[:, fi].astype(jnp.float32)
-                            * k[:, gi].astype(jnp.float32), axis=-1)
-                    for gi in range(f)], axis=-1)
-                for fi in range(f)], axis=-2)        # (b, n, h, f, g) fp32
-            w = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
-            out = jnp.stack([
-                sum(w[..., fi, gi, None] * v[:, gi] for gi in range(f))
-                for fi in range(f)], axis=1)          # (b, f, n, h, d)
-            out = out.astype(x.dtype)
+            # constant note and tools/temporal_gate_bench.py).  Small head
+            # dims keep plain autodiff (r2 measured-good at level 0); wide
+            # ones use the hybrid custom_vjp (einsum backward) that the
+            # gate note explains.
+            if self.head_dim <= TEMPORAL_HYBRID_MIN_D:
+                out = _temporal_pairloop(q, k, v, scale).astype(x.dtype)
+            else:
+                out = _temporal_attn_hybrid(q, k, v, scale).astype(x.dtype)
         else:
-            logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k,
-                                preferred_element_type=jnp.float32) * scale
-            w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-            out = jnp.einsum("bnhfg,bgnhd->bfnhd", w, v,
-                             preferred_element_type=jnp.float32).astype(
-                x.dtype)
+            out = _temporal_einsum(q, k, v, scale).astype(x.dtype)
         return to_out(out.reshape(x.shape[:-1] + (inner,)))

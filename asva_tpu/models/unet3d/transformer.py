@@ -194,7 +194,13 @@ class SpatioAudioTempTransformerBlock(nn.Module):
         #    Pallas kernel on TPU)
         x = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(
             ckpt(x), ln=LayerNormParams(self.dim, name="norm3"))
-        return x
+        # "block_out": with every sub-layer INPUT saved, the only reason
+        # the remat recompute re-runs a fused forward kernel is to rebuild
+        # this block output for the downstream chain (proj_out -> next
+        # resnet GN vjp).  Saving it lets the backward skip the FF kernel
+        # re-run entirely (the other sub-layers' outputs are already dead
+        # — each equals the next sub-layer's saved input).
+        return checkpoint_name(x, "block_out")
 
 
 class SpatioAudioTempTransformer3D(nn.Module):

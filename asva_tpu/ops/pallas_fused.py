@@ -616,15 +616,45 @@ def supports_attn3(n: int, sk1: int, ska: int, skt: int, c: int,
 # grid steps, matching XLA's single-contraction fp32 accumulation.
 # --------------------------------------------------------------------------
 
+def _mha_groups(m: int, sk: int, hdp: int, num_heads: int, block_m: int,
+                dtype) -> tuple:
+    """(fwd_group, bwd_group) phased-ordering group sizes for the flash
+    kernels: heads are processed in groups whose MXU matmuls (QK^T; plus
+    dO V^T in the backward) are all issued before any of the group's VPU
+    softmax/exp work — the long scheduling distance lets Mosaic overlap
+    the units, bit-exactly (pure instruction reorder).
+
+    Measured matrix (tools/mha_phase_bench.py, v5e, chained fori_loop,
+    training shapes at per-chip batch 4): fwd g2 wins ~8-17% at every
+    hdp<=640 shape (L0.attn1 2.559->2.362 ms, L0.text 1.588->1.344,
+    L1.attn1 1.273->1.061); few-row-tile small-KV grids prefer the full
+    split (L0.audio g8 1.488->1.251); hdp=1280 (L2) LOSES with any
+    phasing (0.905 seq best) — the wide weight tiles leave no VMEM slack
+    and the per-head matmuls are already wide enough to fill the MXU.
+    Backward: only the small-KV shapes respond (L0.audio b4
+    1.804->1.569, L0.text b2 1.807->1.700); sk>=256 is noise-level, so
+    bwd keeps the production order there."""
+    if hdp >= 1280:
+        return 1, 1
+    itm = 2 if dtype == jnp.bfloat16 else 4
+    few_tiles = m // block_m <= 2
+    fg = 8 if (sk <= 256 and few_tiles) else 2
+    while fg > 1 and (2 * sk * hdp * itm + 2 * block_m * hdp * itm
+                      + fg * block_m * sk * 4) > 12 * 1024 * 1024:
+        fg //= 2
+    bg = (4 if few_tiles else 2) if sk <= 128 else 1
+    return max(fg, 1), max(bg, 1)
+
+
 def _mha_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, num_heads,
-                    kv_len, scale):
+                    kv_len, scale, group=1):
     q = q_ref[0]                                     # (TM, H*Dp)
     k = k_ref[0]                                     # (Sk, H*Dp)
     v = v_ref[0]
     sk = k.shape[0]
     dp = q.shape[1] // num_heads
-    outs, lses = [], []
-    for h in range(num_heads):
+
+    def logits(h):
         sl = slice(h * dp, (h + 1) * dp)
         s = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
@@ -632,19 +662,29 @@ def _mha_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, num_heads,
         if kv_len is not None and kv_len < sk:
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(cols < kv_len, s, -1e9)
-        mx = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - mx)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            (p / l).astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=_F32).astype(q.dtype))
-        lses.append(mx + jnp.log(l))                 # (TM, 1) fp32
+        return s
+
+    outs = [None] * num_heads
+    lses = [None] * num_heads
+    for h0 in range(0, num_heads, group):
+        hs = range(h0, min(h0 + group, num_heads))
+        ss = [logits(h) for h in hs]                 # MXU, back-to-back
+        for h, s in zip(hs, ss):
+            sl = slice(h * dp, (h + 1) * dp)
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            outs[h] = jax.lax.dot_general(
+                (p / l).astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32).astype(q.dtype)
+            lses[h] = mx + jnp.log(l)                # (TM, 1) fp32
     o_ref[0] = jnp.concatenate(outs, axis=-1)
     lse_ref[0] = jnp.concatenate(lses, axis=-1)      # (TM, H)
 
 
 def _mha_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
-                    dq_ref, dk_ref, dv_ref, *, num_heads, kv_len, scale):
+                    dq_ref, dk_ref, dv_ref, *, num_heads, kv_len, scale,
+                    group=1):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -660,31 +700,56 @@ def _mha_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
     dd = dd_ref[0]                                   # (TM, H) fp32
     sk = k.shape[0]
     dp = q.shape[1] // num_heads
-    dq_parts = []
-    for h in range(num_heads):
+
+    def s_of(h):
         sl = slice(h * dp, (h + 1) * dp)
-        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
         s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=_F32) * scale     # (TM, Sk) fp32
         if kv_len is not None and kv_len < sk:
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(cols < kv_len, s, -1e9)
-        p = jnp.exp(s - lse[:, h:h + 1])             # == softmax rows
-        dpv = jax.lax.dot_general(
-            doh, vh, (((1,), (1,)), ((), ())),
+        return s
+
+    def dpv_of(h):
+        sl = slice(h * dp, (h + 1) * dp)
+        return jax.lax.dot_general(
+            do[:, sl], v[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=_F32)             # (TM, Sk) fp32
+
+    def tail(h, p, dpv):
+        sl = slice(h * dp, (h + 1) * dp)
         ds = (p * (dpv - dd[:, h:h + 1]) * scale).astype(q.dtype)
         pb = p.astype(v.dtype)
-        dq_parts.append(jax.lax.dot_general(
-            ds, kh, (((1,), (0,)), ((), ())),
-            preferred_element_type=_F32).astype(dq_ref.dtype))
+        dq_h = jax.lax.dot_general(
+            ds, k[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=_F32).astype(dq_ref.dtype)
         # (Sk, Dp) contractions over the tile's TM rows; fp32 accumulation
         # across grid steps in the VMEM-resident output blocks
         dk_ref[0, :, sl] += jax.lax.dot_general(
-            ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=_F32)
+            ds, q[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=_F32)
         dv_ref[0, :, sl] += jax.lax.dot_general(
-            pb, doh, (((0,), (0,)), ((), ())), preferred_element_type=_F32)
+            pb, do[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=_F32)
+        return dq_h
+
+    dq_parts = [None] * num_heads
+    if group <= 1:                                   # production ordering
+        for h in range(num_heads):
+            s = s_of(h)
+            p = jnp.exp(s - lse[:, h:h + 1])         # == softmax rows
+            dpv = dpv_of(h)
+            dq_parts[h] = tail(h, p, dpv)
+    else:
+        # phased: the whole group's QK^T and dO V^T matmuls are issued
+        # before any of its VPU exp/ds work (see _mha_groups)
+        for h0 in range(0, num_heads, group):
+            hs = list(range(h0, min(h0 + group, num_heads)))
+            ss = [s_of(h) for h in hs]
+            dpvs = [dpv_of(h) for h in hs]
+            for h, s, dpv in zip(hs, ss, dpvs):
+                dq_parts[h] = tail(h, jnp.exp(s - lse[:, h:h + 1]), dpv)
     dq_ref[0] = jnp.concatenate(dq_parts, axis=-1)
 
 
@@ -695,9 +760,10 @@ def _mha_fwd_flat(q, k, v, num_heads, kv_len, scale, block_m):
     g_, m, hdp = q.shape
     sk = k.shape[1]
     grid = (g_, m // block_m)
+    fwd_group, _ = _mha_groups(m, sk, hdp, num_heads, block_m, q.dtype)
     return pl.pallas_call(
         functools.partial(_mha_fwd_kernel, num_heads=num_heads,
-                          kv_len=kv_len, scale=scale),
+                          kv_len=kv_len, scale=scale, group=fwd_group),
         out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
                    jax.ShapeDtypeStruct((g_, m, num_heads), _F32)),
         grid=grid,
@@ -720,9 +786,10 @@ def _mha_bwd_flat(q, k, v, do, lse, dd, num_heads, kv_len, scale, block_m):
     g_, m, hdp = q.shape
     sk = k.shape[1]
     grid = (g_, m // block_m)
+    _, bwd_group = _mha_groups(m, sk, hdp, num_heads, block_m, q.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_mha_bwd_kernel, num_heads=num_heads,
-                          kv_len=kv_len, scale=scale),
+                          kv_len=kv_len, scale=scale, group=bwd_group),
         out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
                    jax.ShapeDtypeStruct(k.shape, _F32),
                    jax.ShapeDtypeStruct(v.shape, _F32)),

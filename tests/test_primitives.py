@@ -235,3 +235,44 @@ def test_temporal_pairloop_matches_einsum(rng):
         ein = mod_ein.apply(variables, x)
         np.testing.assert_allclose(np.asarray(pair), np.asarray(ein),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_temporal_hybrid_grads_match_einsum_autodiff(rng):
+    """Head dims above TEMPORAL_HYBRID_MIN_D route through the custom_vjp
+    (pair-loop forward, einsum backward).  Its gradients must equal plain
+    autodiff of the einsum form — the backward IS jax.vjp of that form, so
+    this guards the custom_vjp plumbing (residuals, arg order, scale)."""
+    from asva_tpu.models.unet3d.primitives import (
+        TEMPORAL_HYBRID_MIN_D, TemporalAttention)
+
+    heads, d = 8, 80
+    assert d > TEMPORAL_HYBRID_MIN_D
+    x = jnp.asarray(rng.standard_normal((2, 5, 16, heads * d)) * 0.1,
+                    jnp.float32)
+    mod_hyb = TemporalAttention(heads, d, pairloop_max_d=d)   # hybrid path
+    mod_ein = TemporalAttention(heads, d, pairloop_max_d=0)   # einsum path
+    variables = mod_ein.init(jax.random.PRNGKey(0), x)
+    variables = jax.tree.map(
+        lambda p: p + 0.02 * np.arange(p.size, dtype=np.float32
+                                       ).reshape(p.shape) % 0.1, variables)
+    cot = jnp.asarray(rng.standard_normal(x.shape) * 0.1, jnp.float32)
+
+    def loss(mod):
+        def f(v, x_):
+            return jnp.sum(mod.apply(v, x_) * cot)
+        return jax.grad(f, argnums=(0, 1))(variables, x)
+
+    gv_h, gx_h = loss(mod_hyb)
+    gv_e, gx_e = loss(mod_ein)
+    # identical backward graph modulo the projections' cotangent source
+    # (hybrid fwd differs from einsum fwd only in fp reassociation)
+    np.testing.assert_allclose(np.asarray(gx_h), np.asarray(gx_e),
+                               atol=3e-5, rtol=3e-5)
+    for (kh, ph), (ke, pe) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(gv_h),
+                   key=lambda kp: str(kp[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(gv_e),
+                   key=lambda kp: str(kp[0]))):
+        assert str(kh) == str(ke)
+        np.testing.assert_allclose(np.asarray(ph), np.asarray(pe),
+                                   atol=3e-5, rtol=3e-5, err_msg=str(kh))
